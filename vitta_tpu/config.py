@@ -1,0 +1,219 @@
+"""Typed configuration for vitta_tpu.
+
+Replaces the reference's single global argparse parser with imperative
+per-script overrides (reference utils/opts.py:11-132 and the "To Specify"
+blocks in e.g. tta_tanet_ucf101.py:19-26) with frozen dataclasses and
+per-architecture presets.  Field defaults mirror the reference defaults
+line-for-line where they matter for parity (cited below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+# Normalization constants (reference utils/opts.py:3-9).
+TANET_INPUT_MEAN = (0.485, 0.456, 0.406)
+TANET_INPUT_STD = (0.229, 0.224, 0.225)
+# Video Swin operates on 0-255 pixel scale (mmcv-style normalize).
+SWIN_IMG_NORM_MEAN = (123.675, 116.28, 103.53)
+SWIN_IMG_NORM_STD = (58.395, 57.12, 57.375)
+
+# The 12 corruption types of the UCF101-C / K400-C / SSv2-C benchmark,
+# shuffled-stream variants (reference tta_tanet_ucf101.py:9-11).
+CORRUPTIONS = (
+    "gauss", "pepper", "salt", "shot", "zoom", "impulse",
+    "defocus", "motion", "jpeg", "contrast", "rain", "h265_abr",
+)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Video data pipeline configuration.
+
+    Mirrors reference utils/opts.py:15-39 (paths) and 105-112 (shapes).
+    """
+
+    dataset: str = "ucf101"            # ucf101 | somethingv2 | kinetics
+    video_data_dir: str = ""
+    val_vid_list: str = ""             # list file: "<path> <n_frames> <label>"
+    vid_format: str = ""
+    clip_length: int = 16              # T (opts.py:109)
+    sample_style: str = "uniform-1"    # 'uniform-N' | 'dense-N' (opts.py:110)
+    test_crops: int = 1                # spatial crops (opts.py:112)
+    input_size: int = 224              # network input (opts.py:106)
+    scale_size: int = 256              # shorter-side resize (opts.py:107)
+    full_res: bool = False             # feed scale_size^2 instead (opts.py:105)
+    batch_size: int = 1                # videos per step (opts.py:108)
+    num_workers: int = 8               # host decode workers (opts.py:63)
+    debug: bool = False                # first 50 videos only (opts.py:66)
+    debug_vid: int = 50
+    # Swin-only pipeline knobs (opts.py:51-54).
+    num_clips: int = 1
+    frame_uniform: bool = True
+    frame_interval: int = 2
+    flip_ratio: float = 0.0
+    input_mean: Tuple[float, ...] = TANET_INPUT_MEAN
+    input_std: Tuple[float, ...] = TANET_INPUT_STD
+
+    @property
+    def network_input_size(self) -> int:
+        return self.scale_size if self.full_res else self.input_size
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model-zoo configuration (reference utils/opts.py:43-58)."""
+
+    arch: str = "tanet"                # tanet | videoswintransformer | ...
+    num_classes: int = 101
+    checkpoint_path: str = ""
+    # TANet / TSN
+    dropout: float = 0.8               # TSN dropout before new_fc
+    partial_bn: bool = True            # freeze BN2d affine except first (tanet.py:182-198)
+    consensus_type: str = "avg"
+    # Video Swin-B (fixed config, reference recognizer3d.py:45-90)
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    drop_path_rate: float = 0.2
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"     # bfloat16 for speed runs
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer for the adaptation step (reference utils/opts.py:118-121,
+    corpus/basics.py:547-560)."""
+
+    lr: float = 5e-5
+    momentum: float = 0.9              # SGD momentum
+    weight_decay: float = 5e-4
+    update_only_bn_affine: bool = False  # Adam on norm gamma/beta instead
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+
+@dataclass(frozen=True)
+class TTAConfig:
+    """ViTTA adaptation configuration (reference utils/opts.py:72-99)."""
+
+    tta: bool = True
+    if_tta_standard: str = "tta_online"    # 'tta_online' | 'tta_standard'
+    stat_reg: str = "mean_var"             # 'mean_var' | 'BNS'
+    stat_type: Tuple[str, ...] = ("spatiotemp",)
+    reg_type: str = "l1_loss"              # 'l1_loss' | 'mse_loss' | 'kld'
+    before_norm: bool = False              # stats on norm input instead of output
+    moving_avg: bool = True
+    momentum_mvg: float = 0.1              # EMA momentum (1.0 for tta_standard)
+    n_gradient_steps: int = 1
+    n_epoch_adapat: int = 1
+    fix_BNS: bool = True                   # norm layers always in inference form
+    running_manner: bool = True            # (BNS baseline reg)
+    momentum_bns: float = 0.1
+    use_src_stat_in_reg: bool = True
+    # multi-view augmentation
+    if_sample_tta_aug_views: bool = True
+    n_augmented_views: int = 2
+    tta_view_sample_style: str = "uniform_equidist"
+    if_spatial_rand_cropping: bool = True
+    if_pred_consistency: bool = True
+    lambda_pred_consis: float = 0.1
+    lambda_feature_reg: float = 1.0
+    # which norm layers participate in the stat regularization: a layer
+    # is chosen when any of these substrings occurs in its path name
+    # (reference corpus/basics.py:571-587)
+    chosen_blocks: Tuple[str, ...] = ("layer3", "layer4")
+    # precomputed source statistics
+    spatiotemp_mean_clean_file: str = ""
+    spatiotemp_var_clean_file: str = ""
+
+    def validate(self) -> None:
+        # Mode invariants, reference corpus/basics.py:414-423.
+        if self.if_tta_standard == "tta_standard":
+            assert self.momentum_mvg == 1.0
+            assert self.n_epoch_adapat == 1
+        elif self.if_tta_standard == "tta_online":
+            assert self.momentum_mvg != 1.0
+            assert self.n_gradient_steps == 1
+            assert self.n_epoch_adapat == 1
+        else:
+            raise ValueError(f"unknown if_tta_standard={self.if_tta_standard}")
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution-environment knobs (replaces opts.py:62-68)."""
+
+    result_dir: str = "results"
+    verbose: bool = True
+    print_freq: int = 20
+    seed: int = 0
+    # parallelism: number of corruption streams adapted simultaneously,
+    # sharded over the device mesh (the reference is single-GPU,
+    # DataParallel-wrapped: corpus/main_eval.py:61-65).
+    n_parallel_streams: int = 1
+    mesh_axis_name: str = "stream"
+    profile_dir: str = ""
+
+
+@dataclass(frozen=True)
+class VittaConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    tta: TTAConfig = field(default_factory=TTAConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    corruptions: Tuple[str, ...] = tuple(f"{c}_shuffled" for c in CORRUPTIONS)
+
+    def replace(self, **kw) -> "VittaConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tanet_ucf101_preset(**overrides) -> VittaConfig:
+    """Preset matching reference tta_tanet_ucf101.py (all defaults)."""
+    cfg = VittaConfig(
+        data=DataConfig(dataset="ucf101"),
+        model=ModelConfig(arch="tanet", num_classes=101),
+        optim=OptimConfig(),
+        tta=TTAConfig(chosen_blocks=("layer3", "layer4")),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def swin_ucf101_preset(**overrides) -> VittaConfig:
+    """Preset matching reference tta_swin_ucf101.py:27-40."""
+    cfg = VittaConfig(
+        data=DataConfig(
+            dataset="ucf101",
+            clip_length=16,
+            num_clips=1,
+            frame_uniform=True,
+            scale_size=224,          # tta_swin_ucf101.py:33
+            input_size=224,
+            input_mean=SWIN_IMG_NORM_MEAN,
+            input_std=SWIN_IMG_NORM_STD,
+        ),
+        model=ModelConfig(
+            arch="videoswintransformer",
+            num_classes=101,
+            patch_size=(2, 4, 4),
+            window_size=(8, 7, 7),
+        ),
+        optim=OptimConfig(lr=1e-5),  # tta_swin_ucf101.py:38
+        tta=TTAConfig(
+            lambda_pred_consis=0.05,   # tta_swin_ucf101.py:39
+            momentum_mvg=0.05,         # tta_swin_ucf101.py:40
+            chosen_blocks=("backbone.layers.2", "backbone.layers.3", "backbone.norm"),
+        ),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def num_classes_for(dataset: str) -> int:
+    """Reference corpus/main_eval.py:39-47."""
+    return {"ucf101": 101, "somethingv2": 174, "kinetics": 400}[dataset]
