@@ -3,9 +3,15 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# A plugin may have imported jax before this conftest ran, in which case
+# jax captured JAX_PLATFORMS at import time — override via config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,152 @@
+"""Norm layers with statistic taps, and conv helpers.
+
+These replace the reference's *mutable hook on mutable module* pattern
+(utils/norm_stats_utils.py hooks registered in corpus/basics.py:565-600)
+with norm modules that *sow* their output channel statistics into a
+``taps`` collection.  When the ``taps`` collection is not marked mutable
+(plain inference) the sown reductions are dead code and XLA eliminates
+them — the functional equivalent of "remove hooks before inference"
+(corpus/basics.py:682-686).
+
+BatchNorm is hand-rolled (rather than ``flax.linen.BatchNorm``) because
+the TTA baselines need all three behaviors:
+
+* inference form (``fix_BNS=True``, corpus/basics.py:606-611) — default;
+* batch-stat normalization (NORM baseline, baselines/norm.py);
+* running-stat EMA updates without gradient steps (DUA, baselines/dua.py).
+
+Layout convention: channels-last everywhere (TPU native).  2D features
+are ``(N*T, H, W, C)``; the tap's spatiotemporal statistics are invariant
+to the (N,T)-fold so this matches the reference's
+``(N*T,C,H,W)->(N,C,T,H,W)`` reshape before reduction
+(norm_stats_utils.py:186-236).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vitta_tpu.ops.stats import channel_stats
+
+# Tap collection name used across the framework.
+TAPS = "taps"
+
+
+def _tap_overwrite(old, new):
+    return new
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm (any rank, channels-last) in explicit-state form.
+
+    Matches torch BatchNorm semantics: eps 1e-5, running-stat momentum
+    0.1, *unbiased* variance for the running-var update but biased for
+    batch normalization (torch F.batch_norm behavior).
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    tap: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool = True,
+                 update_running_stats: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if update_running_stats and not self.is_initializing():
+                n = xf.size / self.features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (xf - mean) * inv + bias
+        y = y.astype(x.dtype)
+        if self.tap:
+            # channel stats of the normalized output (before_norm=False
+            # default path, norm_stats_utils.py:154).
+            self.sow(TAPS, "stat", channel_stats(y), reduce_fn=_tap_overwrite)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis with an output-stat tap.
+
+    The Swin tap points are all LayerNorms except the patch-embed one
+    (corpus/basics.py:500-505); features at those points are
+    (B, T, H, W, C) — exactly our layout, so the tap's reduction equals
+    the reference's BTHWC->BCTHW permute + reduce
+    (norm_stats_utils.py:222-236).
+    """
+
+    features: int
+    eps: float = 1e-5
+    tap: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = y.astype(x.dtype)
+        if self.tap:
+            self.sow(TAPS, "stat", channel_stats(y), reduce_fn=_tap_overwrite)
+        return y
+
+
+class Conv2d(nn.Module):
+    """2D conv with torch padding/stride conventions, channels-last,
+    weights stored torch-shaped via flax (H, W, Cin, Cout)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = False
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=[(p, p) for p in self.padding],
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            name="conv",
+        )(x)
+
+
+def max_pool_torch(x, window: int, stride: int, padding: int):
+    """torch MaxPool2d with explicit padding (pads with -inf)."""
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)])
+
+
+def global_avg_pool_2d(x):
+    """AdaptiveAvgPool2d(1) over (N, H, W, C) -> (N, C)."""
+    return jnp.mean(x, axis=(1, 2))

@@ -1,0 +1,201 @@
+"""Checkpoint conversion: torch state_dicts -> flax variable pytrees.
+
+The reference loads pretrained TANet / Video Swin torch checkpoints
+(corpus/main_eval.py:55-65, including ``module.`` DataParallel-prefix
+detection) and precomputed source statistics stored as object-array
+``.npy`` pairs in ``choose_layers`` order (corpus/basics.py:306-307,
+consumed at 480-509 with ``None`` placeholders spliced in at BatchNorm1d
+positions for TANet).
+
+This module re-provides all of that for the JAX models:
+
+* ``convert_tanet_checkpoint`` — torch TSN(ResNet50+TAM) state_dict ->
+  ``{"params": ..., "batch_stats": ...}`` matching
+  :class:`vitta_tpu.models.tanet.TANet`;
+* ``tanet_norm_layers`` — the canonical norm-layer order of the torch
+  model's ``named_modules()`` DFS, used to key reference-format stat
+  files to tap names;
+* ``load_reference_stats`` — reads the reference ``.npy`` pair into a
+  ``{tap_name: (mean, var)}`` dict.
+
+No torch import is required: ``.pth`` loading is done by the caller
+(torch is an optional dependency of the converter CLI only).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from vitta_tpu.models.resnet import RESNET50_LAYERS
+
+
+def strip_module_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop DataParallel's ``module.`` prefix (main_eval.py:55-65)."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def _to_numpy(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    return out
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _bn(params: dict, stats: dict, flax_path: Tuple[str, ...],
+        torch_prefix: str, sd: Dict[str, np.ndarray]):
+    _set(params, flax_path + ("scale",), sd[torch_prefix + ".weight"])
+    _set(params, flax_path + ("bias",), sd[torch_prefix + ".bias"])
+    _set(stats, flax_path + ("mean",), sd[torch_prefix + ".running_mean"])
+    _set(stats, flax_path + ("var",), sd[torch_prefix + ".running_var"])
+
+
+def convert_tanet_checkpoint(sd, num_classes: Optional[int] = None) -> dict:
+    """Convert a reference TANet checkpoint (torch state_dict, possibly
+    ``module.``-prefixed, TAM blocks stored as ``layerX.Y.net`` /
+    ``layerX.Y.tam``) to flax variables for :class:`TANet`."""
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]  # full checkpoint dicts
+    sd = _to_numpy(strip_module_prefix(sd))
+    params: dict = {}
+    stats: dict = {}
+
+    bm = "base_model"
+    # stem
+    _set(params, (bm, "conv1", "kernel"),
+         sd["base_model.conv1.weight"].transpose(2, 3, 1, 0))
+    _bn(params, stats, (bm, "bn1"), "base_model.bn1", sd)
+
+    has_tam = any(".tam." in k for k in sd)
+
+    for li, (planes, blocks, _stride) in enumerate(RESNET50_LAYERS, start=1):
+        for bi in range(blocks):
+            tp = f"base_model.layer{li}.{bi}"
+            net = f"{tp}.net" if f"{tp}.net.conv1.weight" in sd else tp
+            fp = (bm, f"layer{li}_{bi}")
+            for ci in (1, 2, 3):
+                _set(params, fp + (f"conv{ci}", "kernel"),
+                     sd[f"{net}.conv{ci}.weight"].transpose(2, 3, 1, 0))
+                _bn(params, stats, fp + (f"bn{ci}",), f"{net}.bn{ci}", sd)
+            if f"{net}.downsample.0.weight" in sd:
+                _set(params, fp + ("downsample_conv", "kernel"),
+                     sd[f"{net}.downsample.0.weight"].transpose(2, 3, 1, 0))
+                _bn(params, stats, fp + ("downsample_bn",),
+                    f"{net}.downsample.1", sd)
+            if has_tam and f"{tp}.tam.G.0.weight" in sd:
+                tamp = fp + ("tam",)
+                _set(params, tamp + ("g_fc1", "kernel"),
+                     sd[f"{tp}.tam.G.0.weight"].T)
+                _bn(params, stats, tamp + ("g_bn",), f"{tp}.tam.G.1", sd)
+                _set(params, tamp + ("g_fc2", "kernel"),
+                     sd[f"{tp}.tam.G.3.weight"].T)
+                _set(params, tamp + ("l_conv1", "kernel"),
+                     sd[f"{tp}.tam.L.0.weight"].transpose(2, 1, 0))
+                _bn(params, stats, tamp + ("l_bn",), f"{tp}.tam.L.1", sd)
+                _set(params, tamp + ("l_conv2", "kernel"),
+                     sd[f"{tp}.tam.L.3.weight"].transpose(2, 1, 0))
+
+    _set(params, ("new_fc", "kernel"), sd["new_fc.weight"].T)
+    _set(params, ("new_fc", "bias"), sd["new_fc.bias"])
+    if num_classes is not None:
+        assert params["new_fc"]["bias"].shape == (num_classes,), \
+            f"checkpoint classes {params['new_fc']['bias'].shape} != {num_classes}"
+    return {"params": params, "batch_stats": stats}
+
+
+def tanet_norm_layers(use_tam: bool = True) -> List[Tuple[str, str]]:
+    """Norm layers of TANet in the torch ``named_modules()`` DFS order used
+    by ``choose_layers`` (utils/BNS_utils.py:245-259): per bottleneck the
+    order is net.bn1, net.bn2, net.bn3, [downsample bn], tam.G bn1d,
+    tam.L bn1d (TemporalBottleneck attribute order net -> tam,
+    temporal_module.py:76-83).
+
+    Returns ``[(tap_name, kind)]`` with kind in {"bn2d", "bn1d"}; names are
+    flax paths joined with '.' relative to the model root.
+    """
+    out: List[Tuple[str, str]] = [("base_model.bn1", "bn2d")]
+    for li, (planes, blocks, _s) in enumerate(RESNET50_LAYERS, start=1):
+        for bi in range(blocks):
+            p = f"base_model.layer{li}_{bi}"
+            out.append((f"{p}.bn1", "bn2d"))
+            out.append((f"{p}.bn2", "bn2d"))
+            out.append((f"{p}.bn3", "bn2d"))
+            if bi == 0:
+                out.append((f"{p}.downsample_bn", "bn2d"))
+            if use_tam:
+                out.append((f"{p}.tam.g_bn", "bn1d"))
+                out.append((f"{p}.tam.l_bn", "bn1d"))
+    return out
+
+
+def swin_norm_layers(depths=(2, 2, 18, 2)) -> List[Tuple[str, str]]:
+    """LayerNorm order for Video Swin-B, all LN except the patch-embed one
+    (corpus/basics.py:500-505): per block norm1, norm2; PatchMerging norm
+    after each of stages 0-2; final backbone.norm."""
+    out: List[Tuple[str, str]] = []
+    for si, d in enumerate(depths):
+        for bi in range(d):
+            p = f"backbone.layers.{si}.blocks.{bi}"
+            out.append((f"{p}.norm1", "ln"))
+            out.append((f"{p}.norm2", "ln"))
+        if si < len(depths) - 1:
+            out.append((f"backbone.layers.{si}.downsample.norm", "ln"))
+    out.append(("backbone.norm", "ln"))
+    return out
+
+
+def load_reference_stats(mean_file: str, var_file: str, arch: str,
+                         use_tam: bool = True) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Load the reference's object-array ``.npy`` stat pair into
+    ``{tap_name: (mean, var)}``.
+
+    For TANet the files contain one (C,) entry per BatchNorm2d in
+    ``choose_layers`` order; BatchNorm1d positions get no entry
+    (basics.py:488-498 splices in ``None`` placeholders — here bn1d taps
+    are simply omitted from the dict)."""
+    means = list(np.load(mean_file, allow_pickle=True))
+    variances = list(np.load(var_file, allow_pickle=True))
+    if arch == "tanet":
+        layers = tanet_norm_layers(use_tam=use_tam)
+        out = {}
+        counter = 0
+        for name, kind in layers:
+            if kind == "bn2d":
+                out[name] = (np.asarray(means[counter], np.float32),
+                             np.asarray(variances[counter], np.float32))
+                counter += 1
+        assert counter == len(means), (counter, len(means))
+        return out
+    elif arch == "videoswintransformer":
+        layers = swin_norm_layers()
+        assert len(means) == len(layers), (len(means), len(layers))
+        return {name: (np.asarray(m, np.float32), np.asarray(v, np.float32))
+                for (name, _), m, v in zip(layers, means, variances)}
+    raise NotImplementedError(arch)
+
+
+def save_stats(path_mean: str, path_var: str, stats: Dict[str, Tuple[np.ndarray, np.ndarray]],
+               arch: str, use_tam: bool = True) -> None:
+    """Write stats in the reference's object-array layout
+    (basics.py:306-307) so files interoperate both ways."""
+    layers = (tanet_norm_layers(use_tam) if arch == "tanet" else swin_norm_layers())
+    means, variances = [], []
+    for name, kind in layers:
+        if arch == "tanet" and kind != "bn2d":
+            continue
+        m, v = stats[name]
+        means.append(np.asarray(m))
+        variances.append(np.asarray(v))
+    np.save(path_mean, np.array(means, dtype=object), allow_pickle=True)
+    np.save(path_var, np.array(variances, dtype=object), allow_pickle=True)
