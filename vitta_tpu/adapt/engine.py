@@ -1,0 +1,226 @@
+"""The ViTTA adaptation engine — one jitted step per test video.
+
+Functional re-design of the reference live loop ``tta_standard``
+(corpus/basics.py:403-747).  Where the reference mutates a torch module
+(register hooks -> forward -> backward -> SGD step -> remove hooks ->
+no-grad eval -> re-register hooks), here the whole sequence is a single
+pure function of carried state:
+
+    state = (params, opt_state, ema, step)
+    adapt_eval_step(state, views, eval_clip, label, rng)
+        -> (state', metrics)
+
+* forward-with-taps on the augmented views (hooks firing ==
+  ``taps`` collection mutable);
+* per chosen layer: EMA update of channel stats
+  (``MovingAverageTensor`` semantics) and L1 alignment against source
+  statistics — gradient flows only through the current batch's
+  contribution (utils/utils_.py:211);
+* sum-L1 prediction consistency across views
+  (pred_consistency_utils.py:15-31);
+* ``loss = lambda_reg * sum(reg) + lambda_consis * consis``
+  (basics.py:657-667); one optimizer step (or ``n_gradient_steps`` for
+  tta_standard mode);
+* inference on the deterministic eval clip of the same video with the
+  *updated* parameters and **no taps** (basics.py:691-716) — the
+  functional analogue of removing hooks;
+* in ``tta_standard`` mode the parameter/EMA carry is reset to the
+  initial pytree every step (the reference's ``cp.deepcopy(model_origin)``
+  at basics.py:530 — free here).
+
+Everything is static-shaped, so the XLA program is compiled once and
+re-used for the whole corruption stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitta_tpu.config import VittaConfig
+from vitta_tpu.ops.losses import (compute_regularization, cross_entropy,
+                                  pred_consistency, topk_accuracy)
+from vitta_tpu.ops.stats import TapStats, ema_update
+
+TapDict = Dict[str, TapStats]
+
+
+def flatten_taps(tree) -> TapDict:
+    """Flatten a ``taps`` collection to {dotted.name: TapStats}."""
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: isinstance(x, TapStats))[0]
+    for path, leaf in leaves:
+        parts = [p.key for p in path if hasattr(p, "key")]
+        name = ".".join(parts[:-1])  # drop trailing 'stat'
+        flat[name] = leaf
+    return flat
+
+
+def select_tap_names(available, chosen_blocks, source_stats=None) -> Tuple[str, ...]:
+    """Layer selection by name-substring (corpus/basics.py:571-587) in
+    deterministic order; restricted to layers with source statistics
+    (BatchNorm1d positions carry ``None`` placeholders in the reference,
+    basics.py:488-498 — omitted dict entries here)."""
+    names = []
+    for name in sorted(available):
+        if not any(b in name for b in chosen_blocks):
+            continue
+        if source_stats is not None and name not in source_stats:
+            continue
+        names.append(name)
+    return tuple(names)
+
+
+class TTAState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: TapDict          # per chosen layer, running estimate
+    step: jax.Array       # int32
+
+
+class StepMetrics(NamedTuple):
+    loss_reg: jax.Array
+    loss_consis: jax.Array
+    loss_ce: jax.Array
+    top1: jax.Array       # 0/100 for batch of 1; percentage for batches
+    top5: jax.Array
+    pred: jax.Array       # argmax of eval logits (B,)
+
+
+class VittaEngine:
+    """Builds and owns the jitted adapt+eval step for one model/config."""
+
+    def __init__(self, model, cfg: VittaConfig, variables,
+                 source_stats: Dict[str, Tuple[Any, Any]],
+                 tap_names: Optional[Tuple[str, ...]] = None,
+                 donate: bool = True):
+        cfg.tta.validate()
+        self.model = model
+        self.cfg = cfg
+        self.batch_stats = variables.get("batch_stats", {})
+        self.init_params = variables["params"]
+
+        src = {k: TapStats(jnp.asarray(m, jnp.float32), jnp.asarray(v, jnp.float32))
+               for k, (m, v) in source_stats.items()}
+        if tap_names is None:
+            tap_names = select_tap_names(src.keys(), cfg.tta.chosen_blocks, src)
+        self.tap_names = tap_names
+        self.source = {k: src[k] for k in tap_names}
+
+        from vitta_tpu.adapt.optim import build_optimizer
+        self.tx = build_optimizer(cfg.optim, self.init_params,
+                                  arch=cfg.model.arch,
+                                  partial_bn=cfg.model.partial_bn)
+        self._adapt_eval = jax.jit(
+            self._adapt_eval_impl,
+            donate_argnums=(0,) if donate else (),
+        )
+        self._eval_only = jax.jit(self._eval_only_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TTAState:
+        zeros_ema = {k: TapStats(jnp.zeros_like(s.mean), jnp.zeros_like(s.var))
+                     for k, s in self.source.items()}
+        return TTAState(
+            params=self.init_params,
+            opt_state=self.tx.init(self.init_params),
+            ema=zeros_ema,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _forward_with_taps(self, params, views, rng):
+        variables = {"params": params, "batch_stats": self.batch_stats}
+        logits, aux = self.model.apply(
+            variables, views, train=True, mutable=["taps"],
+            rngs={"dropout": rng})
+        taps = flatten_taps(aux["taps"])
+        return logits, taps
+
+    def _losses(self, params, ema, views, rng):
+        tcfg = self.cfg.tta
+        logits, taps = self._forward_with_taps(params, views, rng)
+        # statistic alignment over chosen layers ("onereg": views already
+        # folded into batch before the taps)
+        loss_reg = jnp.float32(0.0)
+        new_ema = {}
+        for name in self.tap_names:
+            updated = ema_update(ema[name], taps[name], tcfg.momentum_mvg)
+            new_ema[name] = updated
+            loss_reg = loss_reg + compute_regularization(
+                self.source[name], updated, tcfg.reg_type)
+        # prediction consistency over augmented views
+        n_views = tcfg.n_augmented_views if tcfg.if_sample_tta_aug_views else 1
+        bv = logits.shape[0]
+        view_logits = logits.reshape(bv // n_views, n_views, -1)
+        if tcfg.if_sample_tta_aug_views and tcfg.if_pred_consistency:
+            loss_consis = pred_consistency(view_logits)
+            loss = (tcfg.lambda_feature_reg * loss_reg
+                    + tcfg.lambda_pred_consis * loss_consis)
+        else:
+            loss_consis = jnp.float32(0.0)
+            loss = loss_reg
+        mean_logits = jnp.mean(view_logits, axis=1)
+        return loss, (loss_reg, loss_consis, mean_logits, new_ema)
+
+    def _adapt_eval_impl(self, state: TTAState, views, eval_clip, label, rng):
+        grad_fn = jax.grad(self._losses, has_aux=True)
+
+        params, opt_state, ema = state.params, state.opt_state, state.ema
+        loss_reg = loss_consis = jnp.float32(0.0)
+        loss_ce = jnp.float32(0.0)
+        for gs in range(self.cfg.tta.n_gradient_steps):
+            step_rng = jax.random.fold_in(rng, gs)
+            grads, (loss_reg, loss_consis, mean_logits, ema) = grad_fn(
+                params, ema, views, step_rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            loss_ce = cross_entropy(mean_logits, label)
+        # detach EMA carry (the meter's sum is detached between steps)
+        ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
+
+        # inference on the eval clip with updated params, no taps
+        eval_logits = self._apply_eval(params, eval_clip)
+        top1, top5 = topk_accuracy(eval_logits, label)
+        metrics = StepMetrics(loss_reg, loss_consis, loss_ce, top1, top5,
+                              jnp.argmax(eval_logits, -1))
+        new_state = TTAState(params, opt_state, ema,
+                             state.step + 1)
+        return new_state, metrics
+
+    def _apply_eval(self, params, eval_clip):
+        """Deterministic forward; clips/crops folded in the batch axis are
+        averaged (basics.py:695-708)."""
+        variables = {"params": params, "batch_stats": self.batch_stats}
+        logits = self.model.apply(variables, eval_clip, train=False)
+        n_eval_views = self.cfg.data.test_crops * int(
+            self.cfg.data.sample_style.split("-")[-1]) \
+            if self.cfg.model.arch == "tanet" else \
+            self.cfg.data.test_crops * self.cfg.data.num_clips
+        b = logits.shape[0] // n_eval_views
+        return jnp.mean(logits.reshape(b, n_eval_views, -1), axis=1)
+
+    def _eval_only_impl(self, params, eval_clip, label):
+        logits = self._apply_eval(params, eval_clip)
+        top1, top5 = topk_accuracy(logits, label)
+        return top1, top5, jnp.argmax(logits, -1)
+
+    # ------------------------------------------------------------------
+    def adapt_eval_step(self, state: TTAState, views, eval_clip, label, rng):
+        """One test video: adapt on its augmented views, then evaluate it.
+
+        tta_standard mode re-initializes model/optimizer/EMA per sample
+        (basics.py:519-530) — the carry is reset before the step.
+        """
+        if self.cfg.tta.if_tta_standard == "tta_standard":
+            fresh = self.init_state()
+            state = TTAState(fresh.params, fresh.opt_state, fresh.ema, state.step)
+        return self._adapt_eval(state, views, eval_clip, label, rng)
+
+    def eval_step(self, params, eval_clip, label):
+        return self._eval_only(params, eval_clip, label)
