@@ -1,0 +1,74 @@
+"""Host-side adaptation / evaluation loops.
+
+The runtime layer (reference corpus/basics.py ``tta_standard`` 403-747,
+``validate`` 96-217): iterate the video stream, invoke the jitted steps,
+aggregate meters, return per-corruption accuracy rows.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vitta_tpu.adapt.engine import VittaEngine, TTAState
+from vitta_tpu.utils.meters import AverageMeter
+
+
+def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
+               logger=None, print_freq: int = 20,
+               state: Optional[TTAState] = None) -> Tuple[list, TTAState, dict]:
+    """Run the online TTA loop over one corruption stream.
+
+    ``paired_data`` yields (tta_views (V,T,S,S,3), eval_clip (E,T,S,S,3),
+    label (1,)) per video.  Returns ([top1_avg], final_state, meters) —
+    the reference returns ``[top1.avg]`` (basics.py:740-747).
+    """
+    if state is None:
+        state = engine.init_state()
+    rng = jax.random.PRNGKey(seed)
+    top1, top5 = AverageMeter(), AverageMeter()
+    losses_reg, losses_consis, losses_ce = AverageMeter(), AverageMeter(), AverageMeter()
+    batch_time = AverageMeter()
+    end = time.time()
+    for bi, (views, clip, label) in enumerate(paired_data):
+        step_rng = jax.random.fold_in(rng, bi)
+        state, m = engine.adapt_eval_step(state, views, clip, label, step_rng)
+        # host sync happens on metric read; keep it after dispatch
+        top1.update(float(m.top1), n=label.shape[0])
+        top5.update(float(m.top5), n=label.shape[0])
+        losses_reg.update(float(m.loss_reg))
+        losses_consis.update(float(m.loss_consis))
+        losses_ce.update(float(m.loss_ce))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if logger and (bi % print_freq == 0):
+            logger.debug(
+                f"TTA [{bi}] time {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                f"reg {losses_reg.val:.4f} ({losses_reg.avg:.4f}) "
+                f"consis {losses_consis.val:.4f} ({losses_consis.avg:.4f}) "
+                f"top1 {top1.val:.3f} ({top1.avg:.3f})")
+    meters = dict(top1=top1, top5=top5, loss_reg=losses_reg,
+                  loss_consis=losses_consis, loss_ce=losses_ce,
+                  batch_time=batch_time)
+    return [top1.avg], state, meters
+
+
+def validate(engine_or_apply, data, params=None, logger=None,
+             print_freq: int = 20) -> Tuple[float, float]:
+    """Plain evaluation loop (reference basics.py:96-217 without the
+    baseline adaptation pre-passes)."""
+    top1, top5 = AverageMeter(), AverageMeter()
+    for bi, item in enumerate(data):
+        clip, label = (item.frames, np.asarray([item.label], np.int32)) \
+            if hasattr(item, "frames") else item
+        t1, t5, _pred = engine_or_apply.eval_step(
+            params if params is not None else engine_or_apply.init_params,
+            clip, label)
+        top1.update(float(t1), n=label.shape[0])
+        top5.update(float(t5), n=label.shape[0])
+        if logger and (bi % print_freq == 0):
+            logger.debug(f"Eval [{bi}] top1 {top1.val:.3f} ({top1.avg:.3f})")
+    return top1.avg, top5.avg

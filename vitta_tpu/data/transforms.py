@@ -1,0 +1,162 @@
+"""Host-side frame transforms (crop / resize / normalize).
+
+Replicates the reference TANet group transforms
+(models/tanet_models/transforms.py):
+
+* ``GroupScale_TANet`` (:170) — PIL bilinear resize of the shorter side
+  (aspect preserved);
+* ``GroupCenterCrop_TANet`` (:46) — torchvision CenterCrop;
+* ``SubgroupWise_MultiScaleCrop_TANet`` (:277-359) — per temporal view,
+  a random (scale, offset) from the fixed TSN offset grid, crop then
+  bilinear resize to input_size.  Scales {1, .875, .75, .66} of the
+  shorter side, max_distort 1, more_fix_crop 13-offset grid;
+* ``Stack_TANet`` + ``ToTorchFormatTensor_TANet`` + ``GroupNormalize_TANet``
+  (:637-686, 140-152) — /255 then per-channel (x-mean)/std.  We emit
+  ``(T, H, W, 3)`` float32 directly (channels-last; the reference's
+  channel-stacked layout is just a reshape away).
+
+PIL is used for the actual resampling so results match the reference's
+PIL-based pipeline exactly; a vectorized C++ path can substitute later
+behind the same function signatures.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+DEFAULT_SCALES = (1.0, 0.875, 0.75, 0.66)
+
+
+def resize_shorter_side(frame: np.ndarray, size: int) -> np.ndarray:
+    """PIL bilinear resize so the shorter edge equals ``size``."""
+    h, w = frame.shape[:2]
+    if (w <= h and w == size) or (h <= w and h == size):
+        return frame
+    if w < h:
+        ow, oh = size, int(size * h / w)
+    else:
+        oh, ow = size, int(size * w / h)
+    img = Image.fromarray(frame)
+    return np.asarray(img.resize((ow, oh), Image.BILINEAR))
+
+
+def center_crop(frame: np.ndarray, size: int) -> np.ndarray:
+    h, w = frame.shape[:2]
+    th = tw = size
+    y = int(round((h - th) / 2.0))
+    x = int(round((w - tw) / 2.0))
+    return frame[y:y + th, x:x + tw]
+
+
+def crop_and_resize(frames: np.ndarray, box: Tuple[int, int, int, int],
+                    out_size: Tuple[int, int]) -> np.ndarray:
+    """Crop (x, y, w, h) then PIL-bilinear resize each frame to out_size
+    (w, h). frames: (T, H, W, 3) uint8."""
+    x, y, w, h = box
+    out_w, out_h = out_size
+    out = np.empty((frames.shape[0], out_h, out_w, frames.shape[3]), np.uint8)
+    for i in range(frames.shape[0]):
+        img = Image.fromarray(frames[i, y:y + h, x:x + w])
+        out[i] = np.asarray(img.resize((out_w, out_h), Image.BILINEAR))
+    return out
+
+
+def fill_fix_offsets(more_fix_crop: bool, image_w: int, image_h: int,
+                     crop_w: int, crop_h: int) -> List[Tuple[int, int]]:
+    """The TSN fixed offset grid (transforms.py:362-388)."""
+    w_step = (image_w - crop_w) // 4
+    h_step = (image_h - crop_h) // 4
+    ret = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+           (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step)]
+    if more_fix_crop:
+        ret += [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                (2 * w_step, 4 * h_step), (2 * w_step, 0),
+                (1 * w_step, 1 * h_step), (3 * w_step, 1 * h_step),
+                (1 * w_step, 3 * h_step), (3 * w_step, 3 * h_step)]
+    return ret
+
+
+def sample_multiscale_crop(image_w: int, image_h: int, input_size: Tuple[int, int],
+                           rng: np.random.Generator,
+                           scales: Sequence[float] = DEFAULT_SCALES,
+                           max_distort: int = 1,
+                           fix_crop: bool = True,
+                           more_fix_crop: bool = True) -> Tuple[int, int, int, int]:
+    """One random (x, y, w, h) crop box per the reference's
+    ``_sample_crop_size`` (transforms.py:325-359)."""
+    base_size = min(image_w, image_h)
+    crop_sizes = [int(base_size * s) for s in scales]
+    crop_h = [input_size[1] if abs(c - input_size[1]) < 3 else c for c in crop_sizes]
+    crop_w = [input_size[0] if abs(c - input_size[0]) < 3 else c for c in crop_sizes]
+    pairs = [(w, h) for i, h in enumerate(crop_h) for j, w in enumerate(crop_w)
+             if abs(i - j) <= max_distort]
+    cw, ch = pairs[rng.integers(0, len(pairs))]
+    if not fix_crop:
+        ox = int(rng.integers(0, image_w - cw + 1))
+        oy = int(rng.integers(0, image_h - ch + 1))
+    else:
+        offsets = fill_fix_offsets(more_fix_crop, image_w, image_h, cw, ch)
+        ox, oy = offsets[rng.integers(0, len(offsets))]
+    return ox, oy, cw, ch
+
+
+def subgroupwise_multiscale_crop(view_frames: np.ndarray, input_size: int,
+                                 rng: np.random.Generator,
+                                 scales: Sequence[float] = DEFAULT_SCALES) -> np.ndarray:
+    """Per-view independent random multi-scale crop
+    (SubgroupWise_MultiScaleCrop_TANet, transforms.py:277-324).
+
+    view_frames: (V, T, H, W, 3) uint8 -> (V, T, input, input, 3) uint8.
+    """
+    v, t, h, w, c = view_frames.shape
+    out = np.empty((v, t, input_size, input_size, c), np.uint8)
+    for vi in range(v):
+        box = sample_multiscale_crop(w, h, (input_size, input_size), rng, scales)
+        out[vi] = crop_and_resize(view_frames[vi], box, (input_size, input_size))
+    return out
+
+
+def scale_center_crop(frames: np.ndarray, scale_size: int, crop_size: int) -> np.ndarray:
+    """Deterministic eval pipeline: Scale(shorter side) + CenterCrop
+    (corpus/basics.py:1260-1263). frames: (T, H, W, 3) uint8."""
+    out = np.empty((frames.shape[0], crop_size, crop_size, frames.shape[3]), np.uint8)
+    for i in range(frames.shape[0]):
+        out[i] = center_crop(resize_shorter_side(frames[i], scale_size), crop_size)
+    return out
+
+
+def full_res_3crop(frames: np.ndarray, crop_size: int, scale_size: int) -> np.ndarray:
+    """GroupFullResSample 3-crop (transforms.py:227-275): scale shorter
+    side then left/center/right (or top/center/bottom) crops.
+    frames: (T, H, W, 3) -> (3, T, crop, crop, 3)."""
+    t = frames.shape[0]
+    scaled = np.stack([resize_shorter_side(f, scale_size) for f in frames])
+    h, w = scaled.shape[1:3]
+    w_step = (w - crop_size) // 4
+    h_step = (h - crop_size) // 4
+    offsets = [(0 * w_step, 2 * h_step), (4 * w_step, 2 * h_step),
+               (2 * w_step, 2 * h_step)]
+    out = np.empty((3, t, crop_size, crop_size, 3), np.uint8)
+    for ci, (ox, oy) in enumerate(offsets):
+        out[ci] = scaled[:, oy:oy + crop_size, ox:ox + crop_size]
+    return out
+
+
+def normalize_clip(frames: np.ndarray, mean: Sequence[float],
+                   std: Sequence[float], scale_255: bool = True) -> np.ndarray:
+    """uint8 (..., 3) -> float32 normalized.
+
+    TANet: /255 then (x-mean)/std with mean/std in [0,1]
+    (ToTorchFormatTensor + GroupNormalize, transforms.py:657-686, 140-152).
+    Swin: no /255; mean/std on the 0-255 scale (mmcv imnormalize,
+    transforms_backup.py:1120-1202) — pass scale_255=False.
+    """
+    x = frames.astype(np.float32)
+    if scale_255:
+        x = x / 255.0
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (x - mean) / std

