@@ -1,0 +1,95 @@
+"""Benchmark: per-video ViTTA adaptation latency (TANet / UCF101-C
+operating point) on one TPU chip.
+
+Operating point = the reference's live configuration
+(utils/opts.py:89,96,99,108-109; corpus/basics.py:403-747): batch of 1
+video, 2 augmented views x 16 frames at 224x224, hooks on layer3/layer4
+BNs, 1 SGD step, then inference on a deterministic 16-frame clip.  The
+measured unit is one full adapt+eval step — what the reference times in
+its ``batch_time`` meter (basics.py:715-716).
+
+The reference repo publishes no numbers (BASELINE.md); the comparison
+constant below is a documented estimate of the reference's per-video
+latency on its single-GPU setup (~470 GFLOPs/step at typical fp32
+utilization plus per-layer Python hook overhead).  vs_baseline > 1 means
+faster than that estimate.
+"""
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_MS_PER_VIDEO = 250.0  # est. reference (single V100-class GPU)
+
+N_WARMUP = 3
+N_VIDEOS = 24
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vitta_tpu.adapt.engine import VittaEngine, flatten_taps
+    from vitta_tpu.config import tanet_ucf101_preset
+    from vitta_tpu.models.tanet import TANet
+
+    T, HW, K, V = 16, 224, 101, 2
+    cfg = tanet_ucf101_preset()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, clip_length=T))
+
+    model = TANet(num_classes=K, clip_length=T)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((V, T, HW, HW, 3), jnp.float32)
+    # jit everything incl. init: eager per-op dispatch is pathologically
+    # slow on tunneled TPU backends
+    init_fn = jax.jit(lambda r, x: model.init(
+        {"params": r, "dropout": r}, x, train=False))
+    variables = init_fn(rng, x0)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    tapped_fwd = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, mutable=["taps"]))
+    _, aux = tapped_fwd(variables, x0 + 0.1)
+    src = {n: (np.asarray(s.mean), np.asarray(s.var))
+           for n, s in flatten_taps(aux["taps"]).items()
+           if "g_bn" not in n and "l_bn" not in n}
+
+    engine = VittaEngine(model, cfg, variables, src)
+    state = engine.init_state()
+
+    # pre-generated device-resident inputs (decode is host-side and
+    # overlapped in production; the metric is the adaptation step)
+    gen = np.random.default_rng(0)
+    n_distinct = 4
+    views_pool = [jnp.asarray(gen.normal(size=(V, T, HW, HW, 3)).astype(np.float32))
+                  for _ in range(n_distinct)]
+    clips_pool = [jnp.asarray(gen.normal(size=(1, T, HW, HW, 3)).astype(np.float32))
+                  for _ in range(n_distinct)]
+    labels = jnp.zeros((1,), jnp.int32)
+
+    for i in range(N_WARMUP):
+        state, m = engine.adapt_eval_step(
+            state, views_pool[i % n_distinct], clips_pool[i % n_distinct],
+            labels, jax.random.fold_in(rng, i))
+    jax.block_until_ready(m.loss_reg)
+
+    start = time.perf_counter()
+    for i in range(N_VIDEOS):
+        state, m = engine.adapt_eval_step(
+            state, views_pool[i % n_distinct], clips_pool[i % n_distinct],
+            labels, jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(m.loss_reg)
+    elapsed = time.perf_counter() - start
+
+    ms_per_video = 1000.0 * elapsed / N_VIDEOS
+    print(json.dumps({
+        "metric": "tanet_ucf101c_tta_adapt_eval_latency",
+        "value": round(ms_per_video, 3),
+        "unit": "ms/video",
+        "vs_baseline": round(ASSUMED_REFERENCE_MS_PER_VIDEO / ms_per_video, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

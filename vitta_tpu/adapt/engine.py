@@ -68,7 +68,8 @@ def select_tap_names(available, chosen_blocks, source_stats=None) -> Tuple[str, 
     basics.py:488-498 — omitted dict entries here)."""
     names = []
     for name in sorted(available):
-        if not any(b in name for b in chosen_blocks):
+        dotted = name.replace("_", ".")
+        if not any((b in name) or (b in dotted) for b in chosen_blocks):
             continue
         if source_stats is not None and name not in source_stats:
             continue

@@ -1,0 +1,355 @@
+"""Video Swin Transformer (Swin-B) — TPU-native implementation.
+
+Re-design of the reference backbone
+(models/videoswintransformer_models/swin_transformer.py):
+
+* ``PatchEmbed3D`` Conv3d patchify + LayerNorm (:416-456; this first LN
+  is excluded from stat taps, corpus/basics.py:503-505);
+* 4 stages of ``SwinTransformerBlock3D`` (:172-274) — windowed 3D
+  attention with relative-position bias (:87-169), cyclic shift on odd
+  blocks, attention masks for shifted windows (:316-329), stochastic
+  depth; ``PatchMerging`` 2x2 spatial between stages (:277-312);
+* final LayerNorm over (B, D, H, W, C) (:659-661);
+* ``I3DHead`` avg-pool + Dropout(0.5) + Linear (i3d_head.py:25-77);
+* ``Recognizer3D`` folds views into batch and returns per-view scores
+  (recognizer3d.py:95-115) — view averaging/consistency live in the
+  adaptation engine.
+
+TPU notes: everything stays channels-last (B, D, H, W, C); window
+partition is reshape/transpose with static shapes; shifted-window masks
+and relative-position indices are numpy constants computed at trace
+time (the reference lru_caches them per shape, :316-329); attention is
+two einsums that XLA maps onto the MXU with N = prod(window) = 392
+token tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vitta_tpu.models.layers import LayerNorm
+
+
+def _triple(x):
+    return tuple(x) if isinstance(x, (tuple, list)) else (x, x, x)
+
+
+def get_window_size(x_size, window_size, shift_size=None):
+    """Clamp window/shift to the input size (swin_transformer.py:25-35)."""
+    use_window = list(window_size)
+    use_shift = list(shift_size) if shift_size is not None else None
+    for i in range(3):
+        if x_size[i] <= window_size[i]:
+            use_window[i] = x_size[i]
+            if use_shift is not None:
+                use_shift[i] = 0
+    if shift_size is None:
+        return tuple(use_window)
+    return tuple(use_window), tuple(use_shift)
+
+
+def window_partition(x, window_size):
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C) (swin_transformer.py:38-51)."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window_size
+    x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(-1, wd * wh * ww, c)
+
+
+def window_reverse(windows, window_size, b, d, h, w):
+    wd, wh, ww = window_size
+    c = windows.shape[-1]
+    x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, c)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(b, d, h, w, c)
+
+
+@functools.lru_cache(maxsize=32)
+def relative_position_index(window_size: Tuple[int, int, int]) -> np.ndarray:
+    """(N, N) int32 index into the bias table (swin_transformer.py:109-128)."""
+    wd, wh, ww = window_size
+    coords = np.stack(np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww),
+                                  indexing="ij"))          # (3, wd, wh, ww)
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]               # (3, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[..., 0] += wd - 1
+    rel[..., 1] += wh - 1
+    rel[..., 2] += ww - 1
+    rel[..., 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[..., 1] *= (2 * ww - 1)
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def compute_shift_mask(dp: int, hp: int, wp: int,
+                       window_size: Tuple[int, int, int],
+                       shift_size: Tuple[int, int, int]) -> Optional[np.ndarray]:
+    """Attention mask (nW, N, N) for shifted windows
+    (swin_transformer.py:316-329); None when no shift."""
+    if not any(shift_size):
+        return None
+    wd, wh, ww = window_size
+    sd, sh, sw = shift_size
+    img = np.zeros((1, dp, hp, wp, 1), np.float32)
+    cnt = 0
+    # literal replication of the reference slice triples
+    # (swin_transformer.py:316-326), including the slice(-0) == empty and
+    # slice(0, None) == full-axis quirks when a shift component is zero.
+    for d in (slice(-wd), slice(-wd, -sd), slice(-sd, None)):
+        for h in (slice(-wh), slice(-wh, -sh), slice(-sh, None)):
+            for w in (slice(-ww), slice(-ww, -sw), slice(-sw, None)):
+                img[:, d, h, w, :] = cnt
+                cnt += 1
+    n = wd * wh * ww
+    win = img.reshape(1, dp // wd, wd, hp // wh, wh, wp // ww, ww, 1)
+    win = win.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, n)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention3D(nn.Module):
+    """Window MSA with 3D relative position bias
+    (swin_transformer.py:87-169)."""
+
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        wd, wh, ww = self.window_size
+        table = self.param(
+            "rpb_table", nn.initializers.truncated_normal(0.02),
+            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), nh))
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
+        q = q * (hd ** -0.5)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        idx = relative_position_index(tuple(self.window_size))[:n, :n]
+        bias = table[idx.reshape(-1)].reshape(n, n, nh)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b_, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class SwinBlock3D(nn.Module):
+    """SwinTransformerBlock3D (swin_transformer.py:172-274)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    shift_size: Tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        window, shift = get_window_size((d, h, w), tuple(self.window_size),
+                                        tuple(self.shift_size))
+        shortcut = x
+        x = LayerNorm(c, name="norm1")(x)
+
+        wd, wh, ww = window
+        pad_d = (-d) % wd
+        pad_h = (-h) % wh
+        pad_w = (-w) % ww
+        x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        dp, hp, wp = d + pad_d, h + pad_h, w + pad_w
+
+        mask_np = compute_shift_mask(dp, hp, wp, window, shift)
+        if any(shift):
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]),
+                         axis=(1, 2, 3))
+        windows = window_partition(x, window)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        attn = WindowAttention3D(c, window, self.num_heads, name="attn")(
+            windows, mask)
+        x = window_reverse(attn, window, b, dp, hp, wp)
+        if any(shift):
+            x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
+        x = x[:, :d, :h, :w]
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic)
+        y = LayerNorm(c, name="norm2")(x)
+        y = Mlp(int(c * self.mlp_ratio), c, name="mlp")(y, deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2x2 spatial merge (swin_transformer.py:277-312)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = LayerNorm(4 * c, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage (swin_transformer.py:332-413)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    drop_paths: Tuple[float, ...]
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        shift = tuple(s // 2 for s in self.window_size)
+        for i in range(self.depth):
+            x = SwinBlock3D(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                drop_path=self.drop_paths[i],
+                name=f"blocks_{i}",
+            )(x, deterministic=deterministic)
+        if self.downsample:
+            x = PatchMerging(self.dim, name="downsample")(x)
+        return x
+
+
+class SwinTransformer3D(nn.Module):
+    """Swin-B video backbone (swin_transformer.py:459-661)."""
+
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        """x: (B, T, H, W, 3) -> (B, D, H', W', num_features)."""
+        pd, ph, pw = self.patch_size
+        t, hh, ww_ = x.shape[1:4]
+        pad = ((0, 0), (0, (-t) % pd), (0, (-hh) % ph), (0, (-ww_) % pw), (0, 0))
+        x = jnp.pad(x, pad)
+        x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+                    strides=self.patch_size, padding="VALID",
+                    name="patch_embed_proj")(x)       # (B, D, H', W', C)
+        # the patch-embed LayerNorm is NOT a stat tap (basics.py:503-505)
+        x = LayerNorm(self.embed_dim, tap=False, name="patch_embed_norm")(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        i0 = 0
+        n_layers = len(self.depths)
+        for li, depth in enumerate(self.depths):
+            x = BasicLayer(
+                dim=self.embed_dim * (2 ** li),
+                depth=depth,
+                num_heads=self.num_heads[li],
+                window_size=self.window_size,
+                drop_paths=tuple(dpr[i0:i0 + depth]),
+                downsample=(li < n_layers - 1),
+                name=f"layers_{li}",
+            )(x, deterministic=deterministic)
+            i0 += depth
+        num_features = self.embed_dim * (2 ** (n_layers - 1))
+        return LayerNorm(num_features, name="norm")(x)
+
+
+class I3DHead(nn.Module):
+    """AvgPool3d + Dropout(0.5) + Linear (i3d_head.py:25-77)."""
+
+    num_classes: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = jnp.mean(x, axis=(1, 2, 3))                   # (B, C)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.num_classes, name="fc_cls",
+                        kernel_init=nn.initializers.normal(0.01))(x)
+
+
+class Recognizer3D(nn.Module):
+    """Backbone + head; views are pre-folded into batch
+    (recognizer3d.py:95-115)."""
+
+    num_classes: int
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    drop_path_rate: float = 0.2
+
+    def setup(self):
+        self.backbone = SwinTransformer3D(
+            patch_size=self.patch_size, embed_dim=self.embed_dim,
+            depths=self.depths, num_heads=self.num_heads,
+            window_size=self.window_size, drop_path_rate=self.drop_path_rate)
+        self.cls_head = I3DHead(self.num_classes)
+
+    def __call__(self, x, *, train: bool = False,
+                 use_running_average: bool = True,
+                 update_running_stats: bool = False):
+        """x: (B*V, T, H, W, 3) -> per-view logits (B*V, K)."""
+        feats = self.backbone(x, deterministic=not train)
+        return self.cls_head(feats, deterministic=not train)
+
+    def features(self, x, **kw):
+        feats = self.backbone(x, deterministic=True)
+        return jnp.mean(feats, axis=(1, 2, 3))

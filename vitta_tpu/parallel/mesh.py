@@ -1,0 +1,48 @@
+"""Device mesh utilities.
+
+The reference's only multi-device mechanism is single-process
+``torch.nn.DataParallel`` pinned to one GPU (corpus/main_eval.py:61-65).
+The TPU-native equivalent is a ``jax.sharding.Mesh``:
+
+* a ``stream`` axis — independent corruption streams adapted in
+  parallel, each device carrying its own model/optimizer/EMA state
+  (the online-TTA stream is inherently sequential per video, so
+  parallelism lives *across* streams, SURVEY.md §2.7);
+* a ``data`` axis — batch-parallel source-stat precompute and
+  source-only evaluation (embarrassingly parallel over videos).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("stream",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_leading_axis(tree, mesh: Mesh, axis: str = "stream"):
+    """Place every leaf with its leading axis sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicated(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

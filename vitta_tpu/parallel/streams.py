@@ -1,0 +1,102 @@
+"""Stream-parallel test-time adaptation over a device mesh.
+
+The ViTTA stream is sequential per video (the EMA and optimizer state
+carry across steps), so scaling comes from adapting many *corruption
+streams* at once: all per-stream state gets a leading ``S`` axis sharded
+over the mesh's ``stream`` axis, and the jitted step is the vmap of the
+single-stream step.  On a v5e-8 this adapts 8 of the benchmark's 12
+corruption streams concurrently — per-chip work identical to the
+single-stream case, zero inter-chip communication inside the step
+(metrics are gathered on host read).
+
+This is the TPU-native replacement for running the reference's
+single-GPU loop 12 times (tta_tanet_ucf101.py:31-45).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vitta_tpu.adapt.engine import TTAState, VittaEngine
+
+
+class StreamParallelEngine:
+    """vmap+shard wrapper of :class:`VittaEngine` over S streams."""
+
+    def __init__(self, engine: VittaEngine, mesh: Mesh, n_streams: int,
+                 axis: str = "stream"):
+        self.engine = engine
+        self.mesh = mesh
+        self.n_streams = n_streams
+        self.axis = axis
+        self._shard = NamedSharding(mesh, P(axis))
+        self._step = jax.jit(
+            jax.vmap(engine._adapt_eval_impl),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TTAState:
+        """Stacked per-stream state, sharded over the mesh."""
+        s0 = self.engine.init_state()
+
+        def stack(x):
+            y = jnp.broadcast_to(x[None], (self.n_streams,) + x.shape)
+            return jax.device_put(y, self._shard)
+
+        return jax.tree_util.tree_map(stack, s0)
+
+    def shard_batch(self, tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self._shard), tree)
+
+    # ------------------------------------------------------------------
+    def adapt_eval_step(self, state: TTAState, views, eval_clips, labels, rngs):
+        """One step for all streams.
+
+        views: (S, B*V, T, S, S, 3); eval_clips: (S, E, T, S, S, 3);
+        labels: (S, B); rngs: (S,) PRNG keys.
+        """
+        if self.engine.cfg.tta.if_tta_standard == "tta_standard":
+            fresh = self.init_state()
+            state = TTAState(fresh.params, fresh.opt_state, fresh.ema, state.step)
+        return self._step(state, views, eval_clips, labels, rngs)
+
+
+def run_parallel_streams(engine: VittaEngine, mesh: Mesh, stream_datasets,
+                         seed: int = 0, logger=None):
+    """Adapt several corruption streams in lock step.
+
+    ``stream_datasets``: list of paired datasets (one per stream), all
+    the same length (streams over the same video list, different
+    corruptions).  Returns per-stream top-1 averages.
+    """
+    n = len(stream_datasets)
+    spe = StreamParallelEngine(engine, mesh, n)
+    state = spe.init_state()
+    lengths = {len(d) for d in stream_datasets}
+    assert len(lengths) == 1, "streams must have equal length"
+    n_videos = lengths.pop()
+    base = jax.random.PRNGKey(seed)
+    correct1 = np.zeros(n)
+    count = 0
+    for bi in range(n_videos):
+        items = [d[bi] for d in stream_datasets]
+        views = np.stack([it[0] for it in items])
+        clips = np.stack([it[1] for it in items])
+        labels = np.stack([it[2] for it in items])
+        rngs = jax.vmap(lambda i: jax.random.fold_in(base, i * n_videos + bi))(
+            jnp.arange(n))
+        state, m = spe.adapt_eval_step(
+            state, spe.shard_batch(views), spe.shard_batch(clips),
+            spe.shard_batch(labels), rngs)
+        correct1 += np.asarray(m.top1)
+        count += 1
+        if logger and bi % 20 == 0:
+            logger.debug(f"parallel-TTA [{bi}/{n_videos}] "
+                         f"top1 {correct1 / max(count, 1)}")
+    return (correct1 / count).tolist(), state

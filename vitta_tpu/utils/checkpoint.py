@@ -142,17 +142,80 @@ def tanet_norm_layers(use_tam: bool = True) -> List[Tuple[str, str]]:
 def swin_norm_layers(depths=(2, 2, 18, 2)) -> List[Tuple[str, str]]:
     """LayerNorm order for Video Swin-B, all LN except the patch-embed one
     (corpus/basics.py:500-505): per block norm1, norm2; PatchMerging norm
-    after each of stages 0-2; final backbone.norm."""
+    after each of stages 0-2; final backbone.norm.
+
+    Names use the flax tap convention (``layers_2`` for torch
+    ``layers.2``); ``select_tap_names`` matches reference-style dotted
+    ``chosen_blocks`` against both spellings."""
     out: List[Tuple[str, str]] = []
     for si, d in enumerate(depths):
         for bi in range(d):
-            p = f"backbone.layers.{si}.blocks.{bi}"
+            p = f"backbone.layers_{si}.blocks_{bi}"
             out.append((f"{p}.norm1", "ln"))
             out.append((f"{p}.norm2", "ln"))
         if si < len(depths) - 1:
-            out.append((f"backbone.layers.{si}.downsample.norm", "ln"))
+            out.append((f"backbone.layers_{si}.downsample.norm", "ln"))
     out.append(("backbone.norm", "ln"))
     return out
+
+
+def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
+                            depths=(2, 2, 18, 2)) -> dict:
+    """Convert a Video Swin (mmaction-style) torch checkpoint to flax
+    variables for :class:`vitta_tpu.models.swin.Recognizer3D`.
+
+    Key layout per the reference checkpoints loaded at
+    corpus/main_eval.py:55-65: ``backbone.patch_embed.proj``,
+    ``backbone.layers.{i}.blocks.{j}.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}``, ``backbone.layers.{i}.downsample.{norm,reduction}``,
+    ``backbone.norm``, ``cls_head.fc_cls``.
+    """
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    sd = _to_numpy(strip_module_prefix(sd))
+    params: dict = {}
+
+    def ln(flax_path, torch_prefix):
+        _set(params, flax_path + ("scale",), sd[torch_prefix + ".weight"])
+        _set(params, flax_path + ("bias",), sd[torch_prefix + ".bias"])
+
+    bb = ("backbone",)
+    # patch embed: Conv3d weight (C, 3, pd, ph, pw) -> (pd, ph, pw, 3, C)
+    _set(params, bb + ("patch_embed_proj", "kernel"),
+         sd["backbone.patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0))
+    _set(params, bb + ("patch_embed_proj", "bias"),
+         sd["backbone.patch_embed.proj.bias"])
+    ln(bb + ("patch_embed_norm",), "backbone.patch_embed.norm")
+
+    for li, depth in enumerate(depths):
+        lp = bb + (f"layers_{li}",)
+        tp = f"backbone.layers.{li}"
+        for bi in range(depth):
+            bp = lp + (f"blocks_{bi}",)
+            tb = f"{tp}.blocks.{bi}"
+            ln(bp + ("norm1",), f"{tb}.norm1")
+            ln(bp + ("norm2",), f"{tb}.norm2")
+            ap = bp + ("attn",)
+            _set(params, ap + ("qkv", "kernel"), sd[f"{tb}.attn.qkv.weight"].T)
+            _set(params, ap + ("qkv", "bias"), sd[f"{tb}.attn.qkv.bias"])
+            _set(params, ap + ("proj", "kernel"), sd[f"{tb}.attn.proj.weight"].T)
+            _set(params, ap + ("proj", "bias"), sd[f"{tb}.attn.proj.bias"])
+            _set(params, ap + ("rpb_table",),
+                 sd[f"{tb}.attn.relative_position_bias_table"])
+            _set(params, bp + ("mlp", "fc1", "kernel"), sd[f"{tb}.mlp.fc1.weight"].T)
+            _set(params, bp + ("mlp", "fc1", "bias"), sd[f"{tb}.mlp.fc1.bias"])
+            _set(params, bp + ("mlp", "fc2", "kernel"), sd[f"{tb}.mlp.fc2.weight"].T)
+            _set(params, bp + ("mlp", "fc2", "bias"), sd[f"{tb}.mlp.fc2.bias"])
+        if f"{tp}.downsample.norm.weight" in sd:
+            ln(lp + ("downsample", "norm"), f"{tp}.downsample.norm")
+            _set(params, lp + ("downsample", "reduction", "kernel"),
+                 sd[f"{tp}.downsample.reduction.weight"].T)
+    ln(bb + ("norm",), "backbone.norm")
+    _set(params, ("cls_head", "fc_cls", "kernel"), sd["cls_head.fc_cls.weight"].T)
+    _set(params, ("cls_head", "fc_cls", "bias"), sd["cls_head.fc_cls.bias"])
+    if num_classes is not None:
+        assert params["cls_head"]["fc_cls"]["bias"].shape == (num_classes,)
+    return {"params": params, "batch_stats": {}}
 
 
 def load_reference_stats(mean_file: str, var_file: str, arch: str,
