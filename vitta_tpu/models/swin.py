@@ -210,8 +210,11 @@ class SwinBlock3D(nn.Module):
                          axis=(1, 2, 3))
         windows = window_partition(x, window)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn = WindowAttention3D(c, window, self.num_heads, name="attn")(
-            windows, mask)
+        # the bias table/index are sized by the CONFIGURED window; forward
+        # slices [:n,:n] when the effective window is clamped (reference
+        # WindowAttention3D keeps full-size buffers, :138-147)
+        attn = WindowAttention3D(c, tuple(self.window_size), self.num_heads,
+                                 name="attn")(windows, mask)
         x = window_reverse(attn, window, b, dp, hp, wp)
         if any(shift):
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
