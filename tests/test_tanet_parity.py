@@ -62,9 +62,11 @@ def test_taps_present_and_selectable(models):
     assert expected_bn2d <= names, expected_bn2d - names
     chosen = [n for n in names
               if any(b in n for b in ("layer3", "layer4"))]
-    # layer3: 6 blocks * 3 bn + 1 downsample = 19; layer4: 3*3+1 = 10
-    assert len([n for n in chosen if "layer3" in n]) == 19
-    assert len([n for n in chosen if "layer4" in n]) == 10
+    # layer3: 6 blocks * 3 bn + 1 downsample = 19 BN2d, + 6*2 TAM BN1d = 31
+    # layer4: 3*3+1 = 10 BN2d, + 3*2 BN1d = 16; BN1d taps are later excluded
+    # by the source-stat filter (None placeholders, basics.py:488-498)
+    assert len([n for n in chosen if "layer3" in n]) == 31
+    assert len([n for n in chosen if "layer4" in n]) == 16
 
 
 def test_tap_values_match_torch_hook(models):

@@ -49,16 +49,38 @@ from vitta_tpu.ops.stats import TapStats, ema_update
 TapDict = Dict[str, TapStats]
 
 
-def flatten_taps(tree) -> TapDict:
-    """Flatten a ``taps`` collection to {dotted.name: TapStats}."""
+def flatten_taps(tree, leaf: str = "stat") -> TapDict:
+    """Flatten a ``taps`` collection to {dotted.name: TapStats}.
+
+    ``leaf='stat'`` selects output-side statistics (the default hook
+    placement, before_norm=False); ``leaf='stat_in'`` the input-side ones
+    (before_norm=True / BNS regularization)."""
     flat = {}
     leaves = jax.tree_util.tree_flatten_with_path(
         tree, is_leaf=lambda x: isinstance(x, TapStats))[0]
-    for path, leaf in leaves:
+    for path, value in leaves:
         parts = [p.key for p in path if hasattr(p, "key")]
-        name = ".".join(parts[:-1])  # drop trailing 'stat'
-        flat[name] = leaf
+        if parts[-1] != leaf:
+            continue
+        flat[".".join(parts[:-1])] = value
     return flat
+
+
+def batch_stats_as_tapdict(batch_stats) -> TapDict:
+    """The model's BN running statistics as {name: TapStats} — the
+    'source' side of the BNS regularization (BNFeatureHook captures
+    running_mean/var at init, BNS_utils.py:28-30)."""
+    out = {}
+    leaves = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+    means, variances = {}, {}
+    for path, value in leaves:
+        parts = [p.key for p in path if hasattr(p, "key")]
+        name = ".".join(parts[:-1])
+        (means if parts[-1] == "mean" else variances)[name] = value
+    for name in means:
+        out[name] = TapStats(jnp.asarray(means[name]),
+                             jnp.asarray(variances[name]))
+    return out
 
 
 def select_tap_names(available, chosen_blocks, source_stats=None) -> Tuple[str, ...]:
@@ -97,7 +119,7 @@ class VittaEngine:
     """Builds and owns the jitted adapt+eval step for one model/config."""
 
     def __init__(self, model, cfg: VittaConfig, variables,
-                 source_stats: Dict[str, Tuple[Any, Any]],
+                 source_stats: Optional[Dict[str, Tuple[Any, Any]]] = None,
                  tap_names: Optional[Tuple[str, ...]] = None,
                  donate: bool = True):
         cfg.tta.validate()
@@ -105,9 +127,19 @@ class VittaEngine:
         self.cfg = cfg
         self.batch_stats = variables.get("batch_stats", {})
         self.init_params = variables["params"]
+        # which side of the norm layer the statistics are taken from
+        # (opts.py:92 before_norm; BNS always compares the input against
+        # the layer's running stats, BNS_utils.py:19-77)
+        self.tap_leaf = "stat_in" if (cfg.tta.before_norm
+                                      or cfg.tta.stat_reg == "BNS") else "stat"
 
-        src = {k: TapStats(jnp.asarray(m, jnp.float32), jnp.asarray(v, jnp.float32))
-               for k, (m, v) in source_stats.items()}
+        if cfg.tta.stat_reg == "BNS":
+            src = batch_stats_as_tapdict(self.batch_stats)
+        else:
+            assert source_stats is not None, "mean_var mode needs source stats"
+            src = {k: TapStats(jnp.asarray(m, jnp.float32),
+                               jnp.asarray(v, jnp.float32))
+                   for k, (m, v) in source_stats.items()}
         if tap_names is None:
             tap_names = select_tap_names(src.keys(), cfg.tta.chosen_blocks, src)
         self.tap_names = tap_names
@@ -122,6 +154,7 @@ class VittaEngine:
             donate_argnums=(0,) if donate else (),
         )
         self._eval_only = jax.jit(self._eval_only_impl)
+        self._adapt_only = jax.jit(self._adapt_only_impl)
 
     # ------------------------------------------------------------------
     def init_state(self) -> TTAState:
@@ -140,7 +173,7 @@ class VittaEngine:
         logits, aux = self.model.apply(
             variables, views, train=True, mutable=["taps"],
             rngs={"dropout": rng})
-        taps = flatten_taps(aux["taps"])
+        taps = flatten_taps(aux["taps"], leaf=self.tap_leaf)
         return logits, taps
 
     def _losses(self, params, ema, views, rng):
@@ -151,7 +184,13 @@ class VittaEngine:
         loss_reg = jnp.float32(0.0)
         new_ema = {}
         for name in self.tap_names:
-            updated = ema_update(ema[name], taps[name], tcfg.momentum_mvg)
+            if tcfg.stat_reg == "BNS":
+                # BNFeatureHook: raw batch stats, or running-manner EMA with
+                # momentum_bns (BNS_utils.py:55-77)
+                updated = (ema_update(ema[name], taps[name], tcfg.momentum_bns)
+                           if tcfg.running_manner else taps[name])
+            else:
+                updated = ema_update(ema[name], taps[name], tcfg.momentum_mvg)
             new_ema[name] = updated
             loss_reg = loss_reg + compute_regularization(
                 self.source[name], updated, tcfg.reg_type)
@@ -205,6 +244,22 @@ class VittaEngine:
             self.cfg.data.test_crops * self.cfg.data.num_clips
         b = logits.shape[0] // n_eval_views
         return jnp.mean(logits.reshape(b, n_eval_views, -1), axis=1)
+
+    def _adapt_only_impl(self, state: TTAState, views, label, rng):
+        """Adaptation without the per-sample eval — the epoch-style legacy
+        loop ``test_time_adapt`` (basics.py:760-1084) adapts over the whole
+        stream first and evaluates once at the end."""
+        grads, (loss_reg, loss_consis, mean_logits, ema) = jax.grad(
+            self._losses, has_aux=True)(state.params, state.ema, views, rng)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
+        loss_ce = cross_entropy(mean_logits, label)
+        return TTAState(params, opt_state, ema, state.step + 1), \
+            (loss_reg, loss_consis, loss_ce)
+
+    def adapt_step(self, state: TTAState, views, label, rng):
+        return self._adapt_only(state, views, label, rng)
 
     def _eval_only_impl(self, params, eval_clip, label):
         logits = self._apply_eval(params, eval_clip)

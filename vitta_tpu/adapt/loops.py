@@ -56,6 +56,26 @@ def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
     return [top1.avg], state, meters
 
 
+def tta_epoch_adapt(engine: VittaEngine, tta_data, eval_data,
+                    n_epochs: int = 1, seed: int = 0, logger=None) -> Tuple[float, TTAState]:
+    """Epoch-style legacy adaptation (``test_time_adapt``,
+    corpus/basics.py:760-1084): hooks stay registered while adapting over
+    the whole stream for ``n_epochs``, then a single evaluation pass
+    (``validate_brief``, basics.py:1105-1189)."""
+    state = engine.init_state()
+    rng = jax.random.PRNGKey(seed)
+    for ep in range(n_epochs):
+        for bi, item in enumerate(tta_data):
+            views, _clip, label = item if isinstance(item, tuple) else (
+                item.frames, None, np.asarray([item.label], np.int32))
+            state, losses = engine.adapt_step(
+                state, views, label, jax.random.fold_in(rng, ep * 100003 + bi))
+            if logger and bi % 20 == 0:
+                logger.debug(f"epoch-TTA [{ep}][{bi}] reg {float(losses[0]):.4f}")
+    top1, _top5 = validate(engine, eval_data, params=state.params, logger=logger)
+    return top1, state
+
+
 def validate(engine_or_apply, data, params=None, logger=None,
              print_freq: int = 20) -> Tuple[float, float]:
     """Plain evaluation loop (reference basics.py:96-217 without the

@@ -150,6 +150,7 @@ class RuntimeConfig:
     """Execution-environment knobs (replaces opts.py:62-68)."""
 
     result_dir: str = "results"
+    baseline: str = "source"   # active when tta=False (opts.py:129-131)
     verbose: bool = True
     print_freq: int = 20
     seed: int = 0

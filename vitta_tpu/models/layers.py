@@ -65,6 +65,12 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((self.features,), jnp.float32))
 
         xf = x.astype(jnp.float32)
+        if self.tap:
+            # input-side stats serve the before_norm option and the BNS
+            # regularization (BNFeatureHook compares the BN *input* batch
+            # stats against the layer's running stats, BNS_utils.py:19-77);
+            # dead-code-eliminated when unused.
+            self.sow(TAPS, "stat_in", channel_stats(xf), reduce_fn=_tap_overwrite)
         reduce_axes = tuple(range(x.ndim - 1))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -107,6 +113,8 @@ class LayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         xf = x.astype(jnp.float32)
+        if self.tap:
+            self.sow(TAPS, "stat_in", channel_stats(xf), reduce_fn=_tap_overwrite)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
