@@ -25,13 +25,15 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
+
+from vitta_tpu.data import native
 
 DEFAULT_SCALES = (1.0, 0.875, 0.75, 0.66)
 
 
 def resize_shorter_side(frame: np.ndarray, size: int) -> np.ndarray:
-    """PIL bilinear resize so the shorter edge equals ``size``."""
+    """Bilinear resize so the shorter edge equals ``size`` (PIL BILINEAR
+    semantics via the native library, PIL fallback)."""
     h, w = frame.shape[:2]
     if (w <= h and w == size) or (h <= w and h == size):
         return frame
@@ -39,8 +41,7 @@ def resize_shorter_side(frame: np.ndarray, size: int) -> np.ndarray:
         ow, oh = size, int(size * h / w)
     else:
         oh, ow = size, int(size * w / h)
-    img = Image.fromarray(frame)
-    return np.asarray(img.resize((ow, oh), Image.BILINEAR))
+    return native.resize_bilinear(frame, oh, ow)
 
 
 def center_crop(frame: np.ndarray, size: int) -> np.ndarray:
@@ -53,15 +54,12 @@ def center_crop(frame: np.ndarray, size: int) -> np.ndarray:
 
 def crop_and_resize(frames: np.ndarray, box: Tuple[int, int, int, int],
                     out_size: Tuple[int, int]) -> np.ndarray:
-    """Crop (x, y, w, h) then PIL-bilinear resize each frame to out_size
+    """Crop (x, y, w, h) then bilinear resize each frame to out_size
     (w, h). frames: (T, H, W, 3) uint8."""
     x, y, w, h = box
     out_w, out_h = out_size
-    out = np.empty((frames.shape[0], out_h, out_w, frames.shape[3]), np.uint8)
-    for i in range(frames.shape[0]):
-        img = Image.fromarray(frames[i, y:y + h, x:x + w])
-        out[i] = np.asarray(img.resize((out_w, out_h), Image.BILINEAR))
-    return out
+    cropped = native.crop(np.ascontiguousarray(frames), y, x, h, w)
+    return native.resize_bilinear(cropped, out_h, out_w)
 
 
 def fill_fix_offsets(more_fix_crop: bool, image_w: int, image_h: int,
@@ -121,11 +119,20 @@ def subgroupwise_multiscale_crop(view_frames: np.ndarray, input_size: int,
 
 def scale_center_crop(frames: np.ndarray, scale_size: int, crop_size: int) -> np.ndarray:
     """Deterministic eval pipeline: Scale(shorter side) + CenterCrop
-    (corpus/basics.py:1260-1263). frames: (T, H, W, 3) uint8."""
-    out = np.empty((frames.shape[0], crop_size, crop_size, frames.shape[3]), np.uint8)
-    for i in range(frames.shape[0]):
-        out[i] = center_crop(resize_shorter_side(frames[i], scale_size), crop_size)
-    return out
+    (corpus/basics.py:1260-1263). frames: (T, H, W, 3) uint8 (all frames
+    the same size, so the batch resizes in one native call)."""
+    h, w = frames.shape[1:3]
+    if w < h:
+        ow, oh = scale_size, int(scale_size * h / w)
+    elif h < w:
+        oh, ow = scale_size, int(scale_size * w / h)
+    else:
+        oh = ow = scale_size
+    scaled = native.resize_bilinear(frames, oh, ow) \
+        if (oh, ow) != (h, w) else frames
+    y = int(round((oh - crop_size) / 2.0))
+    x = int(round((ow - crop_size) / 2.0))
+    return native.crop(np.ascontiguousarray(scaled), y, x, crop_size, crop_size)
 
 
 def full_res_3crop(frames: np.ndarray, crop_size: int, scale_size: int) -> np.ndarray:
@@ -154,6 +161,8 @@ def normalize_clip(frames: np.ndarray, mean: Sequence[float],
     Swin: no /255; mean/std on the 0-255 scale (mmcv imnormalize,
     transforms_backup.py:1120-1202) — pass scale_255=False.
     """
+    if frames.dtype == np.uint8:
+        return native.normalize(frames, mean, std, div255=scale_255)
     x = frames.astype(np.float32)
     if scale_255:
         x = x / 255.0
