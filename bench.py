@@ -17,6 +17,7 @@ faster than that estimate.
 
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -25,6 +26,9 @@ ASSUMED_REFERENCE_MS_PER_VIDEO = 250.0  # est. reference (single V100-class GPU)
 
 N_WARMUP = 3
 N_VIDEOS = 24
+# fp32 is the parity configuration; BENCH_DTYPE=bfloat16 halves the adapt
+# step (15.5 vs 27 ms/video measured on v5e) at reduced numeric fidelity.
+BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 
 
 def main():
@@ -38,7 +42,7 @@ def main():
     cfg = tanet_ucf101_preset()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, clip_length=T))
 
-    model = TANet(num_classes=K, clip_length=T)
+    model = TANet(num_classes=K, clip_length=T, dtype=BENCH_DTYPE)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((V, T, HW, HW, 3), jnp.float32)
     # jit everything incl. init: eager per-op dispatch is pathologically

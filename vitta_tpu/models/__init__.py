@@ -7,7 +7,8 @@ def get_model(cfg):
     if arch == "tanet":
         return TANet(num_classes=cfg.model.num_classes,
                      clip_length=cfg.data.clip_length,
-                     dropout=cfg.model.dropout)
+                     dropout=cfg.model.dropout,
+                     dtype=cfg.model.compute_dtype)
     if arch == "videoswintransformer":
         from vitta_tpu.models.swin import Recognizer3D
         return Recognizer3D(

@@ -34,6 +34,7 @@ class TAM(nn.Module):
     in_channels: int
     kernel_size: int = 3
     padding: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, clip_len: int, *, use_running_average: bool = True,
@@ -51,7 +52,7 @@ class TAM(nn.Module):
         # torch runs G on (N*C, T) (temporal_module.py:52); we keep (N, C, T)
         # folded as the leading batch of a Dense over the T axis.
         g_in = jnp.transpose(pooled, (0, 2, 1)).reshape(n * c, t)      # (N*C, T)
-        g = nn.Dense(2 * t, use_bias=False, name="g_fc1")(g_in)
+        g = nn.Dense(2 * t, use_bias=False, dtype=jnp.float32, name="g_fc1")(g_in)
         g = BatchNorm(2 * t, name="g_bn")(g, **bn_kw)
         g = nn.relu(g)
         g = nn.Dense(self.kernel_size, use_bias=False, name="g_fc2")(g)

@@ -29,9 +29,12 @@ class TANet(nn.Module):
     clip_length: int = 16
     dropout: float = 0.8
     use_tam: bool = True
+    dtype: str = "float32"   # compute dtype; "bfloat16" for speed runs
 
     def setup(self):
-        self.base_model = ResNetTAM(use_tam=self.use_tam)
+        import jax.numpy as _jnp
+        self.base_model = ResNetTAM(use_tam=self.use_tam,
+                                    dtype=_jnp.dtype(self.dtype))
         self.new_fc = nn.Dense(self.num_classes)
         self.drop = nn.Dropout(self.dropout)
 
