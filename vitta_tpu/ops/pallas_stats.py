@@ -1,0 +1,99 @@
+"""Pallas TPU kernel: fused BatchNorm(inference) + ReLU + channel-stat tap.
+
+The ViTTA hot loop evaluates, for every chosen norm layer per step,
+``y = BN(x)`` followed by channel mean/var of ``y``
+(norm_stats_utils.py:238-253).  XLA fuses the normalize into the conv
+epilogue but materializes ``y`` to HBM before the tap's two reductions
+read it back.  This kernel streams ``x`` through VMEM once, emitting
+``y`` and accumulating per-channel sum / sum-of-squares in a VMEM
+scratch across sequential grid steps — one HBM read + one write total.
+
+Layout: ``x`` is ``(R, C)`` rows of channels-last activations
+(R = N*T*H*W).  C is the lane dimension; R is tiled over the grid.
+
+This is the optimization path; ``channel_stats`` (plain jnp) remains the
+correctness path (SURVEY.md §7 step 4) and is what the engine uses by
+default — enable with ``VITTA_PALLAS_TAPS=1``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vitta_tpu.ops.stats import TapStats
+
+
+def _pick_row_tile(r: int, max_tile: int = 1024) -> int:
+    for cand in range(min(max_tile, r), 0, -8):
+        if r % cand == 0:
+            return cand
+    return r
+
+
+def _kernel(x_ref, scale_ref, bias_ref, mean_ref, var_ref,
+            y_ref, stats_ref, acc, *, eps: float, relu: bool, n_rows: int):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var_ref[...] + eps) * scale_ref[...]
+    y = (x - mean_ref[...]) * inv + bias_ref[...]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y_ref[...] = y.astype(y_ref.dtype)
+    acc[0:1, :] += jnp.sum(y, axis=0, keepdims=True)
+    acc[1:2, :] += jnp.sum(y * y, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _finish():
+        m = acc[0:1, :] / n_rows
+        msq = acc[1:2, :] / n_rows
+        stats_ref[0:1, :] = m
+        stats_ref[1:2, :] = msq - m * m
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "relu", "interpret"))
+def fused_bn_relu_stats(x, scale, bias, mean, var, *, eps: float = 1e-5,
+                        relu: bool = True, interpret: bool = False):
+    """x (R, C); scale/bias/mean/var (C,).  Returns (y (R, C), TapStats).
+
+    Matches ``BatchNorm`` inference + optional ReLU + ``channel_stats`` of
+    the (post-ReLU) output in one pass.
+    """
+    r, c = x.shape
+    tile = _pick_row_tile(r)
+    grid = (r // tile,)
+    row = lambda a: a.reshape(1, c).astype(jnp.float32)
+
+    y, stats = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, relu=relu, n_rows=r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.ANY
+                         if False else pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), x.dtype),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(x, row(scale), row(bias), row(mean), row(var))
+    return y, TapStats(stats[0], stats[1])
