@@ -1,0 +1,59 @@
+"""Shape/tap smoke tests for the secondary model families
+(I3D-ResNet, R(2+1)D, VideoMAE)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitta_tpu.adapt.engine import flatten_taps
+from vitta_tpu.models.i3d import I3D, inflate_conv2d_to_3d
+from vitta_tpu.models.r2plus1d import R2Plus1D
+from vitta_tpu.models.videomae import VideoMAE
+
+K = 5
+
+
+def _init_apply(model, x):
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out, aux = model.apply(variables, x, train=False, mutable=["taps"])
+    return out, aux
+
+
+@pytest.mark.parametrize("depth,blocks_bn", [(18, "bn2"), (50, "bn3")])
+def test_i3d_shapes_and_taps(depth, blocks_bn):
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    model = I3D(num_classes=K, depth=depth)
+    out, aux = _init_apply(model, x)
+    assert out.shape == (1, K)
+    taps = flatten_taps(aux["taps"])
+    assert "backbone.bn1" in taps
+    assert f"backbone.layer4_0.{blocks_bn}" in taps
+    assert taps["backbone.bn1"].mean.shape == (64,)
+
+
+def test_i3d_inflation():
+    w2d = np.random.default_rng(0).normal(size=(7, 7, 3, 64)).astype(np.float32)
+    w3d = inflate_conv2d_to_3d(w2d, 5)
+    assert w3d.shape == (5, 7, 7, 3, 64)
+    # sum over temporal axis reproduces the 2D kernel (energy preserved)
+    np.testing.assert_allclose(w3d.sum(0), w2d, rtol=1e-6)
+
+
+def test_r2plus1d_shapes():
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    model = R2Plus1D(num_classes=K)
+    out, aux = _init_apply(model, x)
+    assert out.shape == (1, K)
+    taps = flatten_taps(aux["taps"])
+    assert any("layer4" in n for n in taps)
+
+
+def test_videomae_shapes_and_ln_taps():
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    model = VideoMAE(num_classes=K, embed_dim=32, depth=2, num_heads=2)
+    out, aux = _init_apply(model, x)
+    assert out.shape == (1, K)
+    taps = flatten_taps(aux["taps"])
+    assert "blocks_0.norm1" in taps and "norm" in taps

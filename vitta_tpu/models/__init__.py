@@ -26,4 +26,7 @@ def get_model(cfg):
     if arch == "r2plus1d":
         from vitta_tpu.models.r2plus1d import R2Plus1D
         return R2Plus1D(num_classes=cfg.model.num_classes)
+    if arch == "videomae":
+        from vitta_tpu.models.videomae import VideoMAE
+        return VideoMAE(num_classes=cfg.model.num_classes)
     raise NotImplementedError(f"arch={arch}")
