@@ -39,10 +39,10 @@ struct AxisCoeffs {
   std::vector<int> coeffs;    // (out_size, ksize) fixed-point
 };
 
-AxisCoeffs compute_coeffs(int in_size, int out_size) {
+AxisCoeffs compute_coeffs(int in_size, int out_size, int antialias) {
   const double support_base = 1.0;  // triangle
   double scale = static_cast<double>(in_size) / out_size;
-  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double filterscale = (antialias && scale > 1.0) ? scale : 1.0;
   double support = support_base * filterscale;
   int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
 
@@ -94,11 +94,14 @@ inline uint8_t clip8(int64_t v) {
 
 extern "C" {
 
-// in:  (h, w, c) uint8 row-major; out: (oh, ow, c)
+// in:  (h, w, c) uint8 row-major; out: (oh, ow, c).
+// antialias=1 -> PIL BILINEAR (scale-adaptive support);
+// antialias=0 -> classic 2-tap bilinear (cv2/mmcv INTER_LINEAR semantics,
+// used by the Swin/mmaction pipeline, transforms_backup.py:1162).
 void resize_bilinear_u8(const uint8_t* in, int h, int w, int c,
-                        uint8_t* out, int oh, int ow) {
-  AxisCoeffs hc = compute_coeffs(w, ow);
-  AxisCoeffs vc = compute_coeffs(h, oh);
+                        uint8_t* out, int oh, int ow, int antialias) {
+  AxisCoeffs hc = compute_coeffs(w, ow, antialias);
+  AxisCoeffs vc = compute_coeffs(h, oh, antialias);
   const int64_t half = 1LL << (kPrecisionBits - 1);
 
   // horizontal pass: (h, w, c) -> (h, ow, c)
@@ -138,10 +141,11 @@ void resize_bilinear_u8(const uint8_t* in, int h, int w, int c,
 
 // batched variant: (n, h, w, c) -> (n, oh, ow, c)
 void resize_bilinear_u8_batch(const uint8_t* in, int n, int h, int w, int c,
-                              uint8_t* out, int oh, int ow) {
+                              uint8_t* out, int oh, int ow, int antialias) {
   for (int i = 0; i < n; ++i) {
     resize_bilinear_u8(in + static_cast<size_t>(i) * h * w * c, h, w, c,
-                       out + static_cast<size_t>(i) * oh * ow * c, oh, ow);
+                       out + static_cast<size_t>(i) * oh * ow * c, oh, ow,
+                       antialias);
   }
 }
 

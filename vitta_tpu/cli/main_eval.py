@@ -73,9 +73,11 @@ def load_source_stats(cfg: VittaConfig):
 
 def make_datasets(cfg: VittaConfig, source_kind: str = "decord",
                   records=None, seed: int = 0):
+    from vitta_tpu.data.dataset import dataset_cls_for
     source = make_video_source(source_kind, cfg.data.video_data_dir,
                                cfg.data.vid_format)
-    paired = PairedTTADataset(cfg, source, records, seed=seed)
+    paired = PairedTTADataset(cfg, source, records, seed=seed,
+                              dataset_cls=dataset_cls_for(cfg.model.arch))
     return paired
 
 
@@ -124,13 +126,11 @@ def run_compute_stats(cfg: VittaConfig, source_kind: str = "decord",
     logger = logger or get_logger(cfg.runtime.result_dir)
     model = get_model(cfg)
     variables = load_variables(cfg, model, seed=cfg.runtime.seed)
+    from vitta_tpu.data.dataset import dataset_cls_for
     source = make_video_source(source_kind, cfg.data.video_data_dir,
                                cfg.data.vid_format)
-    ds = TANetVideoDataset(cfg, source, records, dataset_type="eval") \
-        if cfg.model.arch == "tanet" else None
-    if ds is None:
-        from vitta_tpu.data.dataset import PairedTTADataset  # swin path
-        ds = PairedTTADataset(cfg, source, records).eval
+    ds = dataset_cls_for(cfg.model.arch)(cfg, source, records,
+                                         dataset_type="eval")
     if cfg.model.arch == "tanet":
         bn2d = {n for n, kind in tanet_norm_layers() if kind == "bn2d"}
         tap_filter = lambda n: n in bn2d

@@ -104,6 +104,101 @@ class TANetVideoDataset:
         return Sample(frames=frames.astype(np.float32), label=rec.label, index=i)
 
 
+class SwinVideoDataset:
+    """mmaction-style pipeline for Video Swin
+    (models/videoswintransformer_models/video_dataset.py:63-112):
+
+    * eval: SampleFrames (frame_uniform SlowFast sampling or dense clips)
+      -> Resize(-1, scale_size) (cv2-style bilinear, no antialias)
+      -> CenterCrop(input_size) -> Normalize(0-255 stats);
+    * tta: the shared TTA view samplers -> Resize(-1, scale_size)
+      -> ONE RandomResizedCrop box shared by all frames and views
+      -> Resize(input, input) -> Normalize.
+
+    Output (n_views, T, S, S, 3) float32.
+    """
+
+    def __init__(self, cfg: VittaConfig, source: VideoSource,
+                 records: Optional[List[VideoRecord]] = None,
+                 dataset_type: str = "eval", seed: int = 0):
+        d, t = cfg.data, cfg.tta
+        self.cfg = cfg
+        self.source = source
+        self.dataset_type = dataset_type
+        if records is None:
+            records = parse_list_file(d.val_vid_list, filter_short=False,
+                                      debug=d.debug, debug_vid=d.debug_vid)
+        self.records = records
+        self.rng = np.random.default_rng(seed)
+        self.clip_len = d.clip_length
+        self.input_size = d.input_size
+        self.scale_size = d.scale_size
+        self.num_clips = d.num_clips
+        self.frame_uniform = d.frame_uniform
+        self.frame_interval = d.frame_interval
+        self.n_views = t.n_augmented_views
+        self.view_style = t.tta_view_sample_style
+        self.mean, self.std = d.input_mean, d.input_std
+
+    def __len__(self):
+        return len(self.records)
+
+    def _resize_short(self, frames: np.ndarray) -> np.ndarray:
+        h, w = frames.shape[1:3]
+        short = min(h, w)
+        if short == self.scale_size:
+            return frames
+        if w < h:
+            ow, oh = self.scale_size, int(self.scale_size * h / w + 0.5)
+        else:
+            oh, ow = self.scale_size, int(self.scale_size * w / h + 0.5)
+        from vitta_tpu.data import native
+        return native.resize_bilinear(frames, oh, ow, antialias=False)
+
+    def __getitem__(self, i: int) -> Sample:
+        from vitta_tpu.data import native
+        rec = self.records[i]
+        if self.dataset_type == "tta":
+            idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
+                                            self.view_style, self.n_views,
+                                            self.rng)
+            frames = self.source.get_batch(rec.path, idx)
+            frames = self._resize_short(frames)
+            h, w = frames.shape[1:3]
+            # one crop box for ALL frames/views (transforms_backup.py:193-349)
+            x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, self.rng)
+            frames = native.crop(frames, y, x, ch, cw)
+            frames = native.resize_bilinear(frames, self.input_size,
+                                            self.input_size, antialias=False)
+            n_views = (idx.shape[0] // self.clip_len)
+            views = frames.reshape(n_views, self.clip_len, *frames.shape[1:])
+            if n_views == 1 and self.n_views > 1:
+                views = np.tile(views, (self.n_views, 1, 1, 1, 1))
+        else:
+            if self.frame_uniform:
+                idx = sampling.sample_seq_frames(rec.num_frames, self.clip_len,
+                                                 test_mode=True)
+            else:
+                idx = sampling.sample_dense_clips_test(
+                    rec.num_frames, self.clip_len, self.frame_interval,
+                    self.num_clips)
+            frames = self.source.get_batch(rec.path, idx)
+            frames = self._resize_short(frames)
+            h, w = frames.shape[1:3]
+            yy = (h - self.input_size) // 2
+            xx = (w - self.input_size) // 2
+            frames = native.crop(frames, yy, xx, self.input_size, self.input_size)
+            n_clips = idx.shape[0] // self.clip_len
+            views = frames.reshape(n_clips, self.clip_len, *frames.shape[1:])
+        out = transforms.normalize_clip(views, self.mean, self.std,
+                                        scale_255=False)
+        return Sample(frames=out.astype(np.float32), label=rec.label, index=i)
+
+
+def dataset_cls_for(arch: str):
+    return SwinVideoDataset if arch == "videoswintransformer" else TANetVideoDataset
+
+
 class PairedTTADataset:
     """Lock-step (tta views, eval clip) pairs of the same video — the
     reference iterates two DataLoaders in parallel (basics.py:475, 693)."""

@@ -54,7 +54,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.resize_bilinear_u8_batch.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u8p, ctypes.c_int, ctypes.c_int]
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.crop_u8.argtypes = [u8p] + [ctypes.c_int] * 8 + [u8p]
     lib.normalize_f32.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_int,
                                   f32p, f32p, ctypes.c_int]
@@ -74,9 +74,13 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def resize_bilinear(frames: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """(N, H, W, C) or (H, W, C) uint8 -> resized uint8, PIL BILINEAR
-    semantics (antialias on downscale)."""
+def resize_bilinear(frames: np.ndarray, out_h: int, out_w: int,
+                    antialias: bool = True) -> np.ndarray:
+    """(N, H, W, C) or (H, W, C) uint8 -> resized uint8.
+
+    antialias=True matches PIL BILINEAR (TANet/PIL pipeline);
+    antialias=False is classic 2-tap bilinear (cv2/mmcv INTER_LINEAR,
+    Swin/mmaction pipeline)."""
     lib = get_lib()
     single = frames.ndim == 3
     if single:
@@ -87,11 +91,12 @@ def resize_bilinear(frames: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     if lib is None:
         from PIL import Image
         for i in range(n):
-            out[i] = np.asarray(Image.fromarray(frames[i]).resize(
-                (out_w, out_h), Image.BILINEAR))
+            img = Image.fromarray(frames[i])
+            out[i] = np.asarray(img.resize((out_w, out_h), Image.BILINEAR))
     else:
         lib.resize_bilinear_u8_batch(_u8ptr(frames), n, h, w, c,
-                                     _u8ptr(out), out_h, out_w)
+                                     _u8ptr(out), out_h, out_w,
+                                     1 if antialias else 0)
     return out[0] if single else out
 
 

@@ -22,7 +22,7 @@ behind the same function signatures.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -150,6 +150,51 @@ def full_res_3crop(frames: np.ndarray, crop_size: int, scale_size: int) -> np.nd
     for ci, (ox, oy) in enumerate(offsets):
         out[ci] = scaled[:, oy:oy + crop_size, ox:ox + crop_size]
     return out
+
+
+def random_resized_crop_bbox(img_h: int, img_w: int,
+                             rng: np.random.Generator,
+                             area_range=(0.08, 1.0),
+                             aspect_ratio_range=(3 / 4, 4 / 3),
+                             max_attempts: int = 10) -> Tuple[int, int, int, int]:
+    """mmaction RandomResizedCrop bbox (transforms_backup.py:224-273):
+    log-uniform aspect ratios, uniform areas, 10 attempts, center-square
+    fallback.  Returns (x, y, w, h); the Swin TTA pipeline samples ONE
+    box shared by all frames and views."""
+    area = img_h * img_w
+    min_ar, max_ar = aspect_ratio_range
+    ars = np.exp(rng.uniform(np.log(min_ar), np.log(max_ar), size=max_attempts))
+    tareas = rng.uniform(*area_range, size=max_attempts) * area
+    cw = np.round(np.sqrt(tareas * ars)).astype(np.int64)
+    ch = np.round(np.sqrt(tareas / ars)).astype(np.int64)
+    for i in range(max_attempts):
+        if ch[i] <= img_h and cw[i] <= img_w:
+            x = int(rng.integers(0, img_w - cw[i] + 1))
+            y = int(rng.integers(0, img_h - ch[i] + 1))
+            return x, y, int(cw[i]), int(ch[i])
+    size = min(img_h, img_w)
+    return (img_w - size) // 2, (img_h - size) // 2, size, size
+
+
+def hflip_with_label(frames: np.ndarray, label: int,
+                     label_transforms: Optional[dict],
+                     rng: np.random.Generator,
+                     flip_ratio: float = 0.5) -> Tuple[np.ndarray, int]:
+    """Group horizontal flip with the SSv2 label-swap map
+    (GroupRandomHorizontalFlip / get_augmentation,
+    utils/utils_.py:124-168, transforms.py:56-100): classes whose
+    semantics are direction-dependent are never flipped... in the TANet
+    variant the flip is skipped for mapped labels; the generic variant
+    swaps the label.  We follow the TANet variant: skip flip when the
+    label is in the map."""
+    if label_transforms is not None and label in label_transforms:
+        return frames, label
+    if rng.random() < flip_ratio:
+        return frames[..., ::-1, :].copy(), label
+    return frames, label
+
+
+SSV2_LABEL_FLIP = {86: 87, 87: 86, 93: 94, 94: 93, 166: 167, 167: 166}
 
 
 def normalize_clip(frames: np.ndarray, mean: Sequence[float],
