@@ -50,6 +50,16 @@ def test_r2plus1d_shapes():
     assert any("layer4" in n for n in taps)
 
 
+def test_i3d_inception_shapes():
+    from vitta_tpu.models.i3d_incep import InceptionI3d
+    x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
+    model = InceptionI3d(num_classes=K)
+    out, aux = _init_apply(model, x)
+    assert out.shape == (1, K)
+    taps = flatten_taps(aux["taps"])
+    assert "Mixed_5c.b0.bn" in taps
+
+
 def test_videomae_shapes_and_ln_taps():
     x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
     model = VideoMAE(num_classes=K, embed_dim=32, depth=2, num_heads=2)

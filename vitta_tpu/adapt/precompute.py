@@ -85,6 +85,55 @@ def compute_source_statistics(model, variables, data_iter,
     return acc.result()
 
 
+def compute_cossim_statistics(model, variables, data_iter, clip_len: int,
+                              stat_type: str = "temp", tap_filter=None,
+                              logger=None):
+    """Pairwise-similarity precompute — counterpart of
+    ``compute_cos_similarity`` (corpus/basics.py:311-401) with
+    ``ComputePairwiseSimilarityHook``: per chosen norm layer, the batch-
+    mean upper-triangle cosine-similarity vector, accumulated with
+    AverageMeter weighting, saved as ``list_{stat_type}_relationmap``.
+
+    Norm-layer outputs are captured via flax ``capture_intermediates`` —
+    the functional form of registering a second hook kind on the same
+    modules.
+    """
+    from vitta_tpu.models.layers import BatchNorm, LayerNorm
+    from vitta_tpu.ops.relation import pairwise_similarity
+
+    def is_norm(mdl, method_name):
+        return isinstance(mdl, (BatchNorm, LayerNorm)) and method_name == "__call__"
+
+    @jax.jit
+    def batch_sims(v, x):
+        _, aux = model.apply(v, x, train=False, mutable=["intermediates"],
+                             capture_intermediates=is_norm)
+        flat = jax.tree_util.tree_flatten_with_path(
+            aux["intermediates"])[0]
+        out = {}
+        for path, feat in flat:
+            parts = [p.key for p in path if hasattr(p, "key")]
+            name = ".".join(parts[:-1])  # drop '__call__'
+            if feat.ndim == 4:           # (N*T, H, W, C) -> (N, T, H, W, C)
+                nt = feat.shape[0]
+                feat = feat.reshape(nt // clip_len, clip_len, *feat.shape[1:])
+            elif feat.ndim != 5:
+                continue                  # 2D/3D BN1d features: no relation map
+            out[name] = pairwise_similarity(feat, stat_type)
+        return out
+
+    acc = StatAccumulator()
+    for bi, (clips, _labels) in enumerate(data_iter):
+        sims = batch_sims(variables, jnp.asarray(clips))
+        if tap_filter is not None:
+            sims = {k: s for k, s in sims.items() if tap_filter(k)}
+        acc.update({k: TapStats(s, jnp.zeros_like(s)) for k, s in sims.items()},
+                   n=float(clips.shape[0]))
+        if logger and bi % 50 == 0:
+            logger.debug(f"compute_cossim batch {bi}")
+    return {k: m for k, (m, _v) in acc.result().items()}
+
+
 def save_source_statistics(stats, arch: str, out_dir: str,
                            use_tam: bool = True, tag: Optional[str] = None):
     """Write reference-format ``list_spatiotemp_{mean,var}_{tag}.npy``

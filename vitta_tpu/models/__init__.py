@@ -26,6 +26,9 @@ def get_model(cfg):
     if arch == "r2plus1d":
         from vitta_tpu.models.r2plus1d import R2Plus1D
         return R2Plus1D(num_classes=cfg.model.num_classes)
+    if arch == "i3d_incep":
+        from vitta_tpu.models.i3d_incep import InceptionI3d
+        return InceptionI3d(num_classes=cfg.model.num_classes)
     if arch == "videomae":
         from vitta_tpu.models.videomae import VideoMAE
         return VideoMAE(num_classes=cfg.model.num_classes)
