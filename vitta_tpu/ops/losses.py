@@ -74,8 +74,9 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 def topk_accuracy(logits: jax.Array, labels: jax.Array, ks=(1, 5)):
     """Top-k precision in percent (reference utils/utils_.py:224-237)."""
-    maxk = max(ks)
+    maxk = min(max(ks), logits.shape[-1])
     _, pred = jax.lax.top_k(logits, maxk)                      # (B, maxk)
     correct = (pred == labels[:, None])                        # (B, maxk)
-    return tuple(100.0 * jnp.mean(jnp.sum(correct[:, :k], axis=1).astype(jnp.float32))
+    return tuple(100.0 * jnp.mean(jnp.sum(correct[:, :min(k, maxk)],
+                                          axis=1).astype(jnp.float32))
                  for k in ks)

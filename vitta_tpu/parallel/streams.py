@@ -35,9 +35,20 @@ class StreamParallelEngine:
         self.n_streams = n_streams
         self.axis = axis
         self._shard = NamedSharding(mesh, P(axis))
-        self._step = jax.jit(
-            jax.vmap(engine._adapt_eval_impl),
-        )
+        # shard_map (not bare GSPMD sharding of a vmapped program): each
+        # device runs the unbatched per-stream program on its local block.
+        # This expresses the intended semantics directly — no cross-stream
+        # communication inside the step — and avoids the partitioner
+        # mis-handling the grouped convolutions that vmap-with-batched-
+        # weights lowers to (observed wrong numerics on the CPU backend).
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        inner = jax.vmap(engine._adapt_eval_impl)
+        self._step = jax.jit(shard_map(
+            inner, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+            check_vma=False))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TTAState:
