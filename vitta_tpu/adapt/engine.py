@@ -125,6 +125,12 @@ class VittaEngine:
         cfg.tta.validate()
         self.model = model
         self.cfg = cfg
+        # device-side normalization constants: when a step receives uint8
+        # frames, (x[/255] - mean)/std fuses into the jitted step — 4x less
+        # host->device traffic than shipping normalized float32
+        self._norm_mean = jnp.asarray(cfg.data.input_mean, jnp.float32)
+        self._norm_std = jnp.asarray(cfg.data.input_std, jnp.float32)
+        self._norm_div255 = cfg.model.arch != "videoswintransformer"
         self.batch_stats = variables.get("batch_stats", {})
         self.init_params = variables["params"]
         # which side of the norm layer the statistics are taken from
@@ -168,7 +174,16 @@ class VittaEngine:
         )
 
     # ------------------------------------------------------------------
+    def _maybe_normalize(self, x):
+        if x.dtype != jnp.uint8:
+            return x
+        xf = x.astype(jnp.float32)
+        if self._norm_div255:
+            xf = xf / 255.0
+        return (xf - self._norm_mean) / self._norm_std
+
     def _forward_with_taps(self, params, views, rng):
+        views = self._maybe_normalize(views)
         variables = {"params": params, "batch_stats": self.batch_stats}
         logits, aux = self.model.apply(
             variables, views, train=True, mutable=["taps"],
@@ -236,6 +251,7 @@ class VittaEngine:
     def _apply_eval(self, params, eval_clip):
         """Deterministic forward; clips/crops folded in the batch axis are
         averaged (basics.py:695-708)."""
+        eval_clip = self._maybe_normalize(eval_clip)
         variables = {"params": params, "batch_stats": self.batch_stats}
         logits = self.model.apply(variables, eval_clip, train=False)
         n_eval_views = self.cfg.data.test_crops * int(

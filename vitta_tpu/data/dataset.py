@@ -38,11 +38,13 @@ class Sample:
 class TANetVideoDataset:
     def __init__(self, cfg: VittaConfig, source: VideoSource,
                  records: Optional[List[VideoRecord]] = None,
-                 dataset_type: str = "eval", seed: int = 0):
+                 dataset_type: str = "eval", seed: int = 0,
+                 emit_uint8: bool = False):
         d, t = cfg.data, cfg.tta
         self.cfg = cfg
         self.source = source
         self.dataset_type = dataset_type
+        self.emit_uint8 = emit_uint8  # normalization fuses into the jitted step
         if records is None:
             records = parse_list_file(d.val_vid_list, filter_short=True,
                                       debug=d.debug, debug_vid=d.debug_vid)
@@ -77,6 +79,8 @@ class TANetVideoDataset:
         else:
             views = np.stack([transforms.scale_center_crop(
                 v, self.scale_size, self.input_size) for v in views])
+        if self.emit_uint8:
+            return views
         return transforms.normalize_clip(views, self.mean, self.std)
 
     def _eval_item(self, rec: VideoRecord) -> np.ndarray:
@@ -93,6 +97,8 @@ class TANetVideoDataset:
                 out.append(transforms.scale_center_crop(
                     clip, self.scale_size, self.input_size)[None])
         views = np.concatenate(out, axis=0)      # (n_clips*crops, T, S, S, 3)
+        if self.emit_uint8:
+            return views
         return transforms.normalize_clip(views, self.mean, self.std)
 
     def __getitem__(self, i: int) -> Sample:
@@ -101,7 +107,8 @@ class TANetVideoDataset:
             frames = self._tta_item(rec)
         else:
             frames = self._eval_item(rec)
-        return Sample(frames=frames.astype(np.float32), label=rec.label, index=i)
+        dtype = np.uint8 if self.emit_uint8 else np.float32
+        return Sample(frames=frames.astype(dtype), label=rec.label, index=i)
 
 
 class SwinVideoDataset:
@@ -120,11 +127,13 @@ class SwinVideoDataset:
 
     def __init__(self, cfg: VittaConfig, source: VideoSource,
                  records: Optional[List[VideoRecord]] = None,
-                 dataset_type: str = "eval", seed: int = 0):
+                 dataset_type: str = "eval", seed: int = 0,
+                 emit_uint8: bool = False):
         d, t = cfg.data, cfg.tta
         self.cfg = cfg
         self.source = source
         self.dataset_type = dataset_type
+        self.emit_uint8 = emit_uint8
         if records is None:
             records = parse_list_file(d.val_vid_list, filter_short=False,
                                       debug=d.debug, debug_vid=d.debug_vid)
@@ -190,6 +199,9 @@ class SwinVideoDataset:
             frames = native.crop(frames, yy, xx, self.input_size, self.input_size)
             n_clips = idx.shape[0] // self.clip_len
             views = frames.reshape(n_clips, self.clip_len, *frames.shape[1:])
+        if self.emit_uint8:
+            return Sample(frames=views.astype(np.uint8), label=rec.label,
+                          index=i)
         out = transforms.normalize_clip(views, self.mean, self.std,
                                         scale_255=False)
         return Sample(frames=out.astype(np.float32), label=rec.label, index=i)
@@ -205,10 +217,11 @@ class PairedTTADataset:
 
     def __init__(self, cfg: VittaConfig, source: VideoSource,
                  records: Optional[List[VideoRecord]] = None, seed: int = 0,
-                 dataset_cls=TANetVideoDataset):
-        self.tta = dataset_cls(cfg, source, records, dataset_type="tta", seed=seed)
+                 dataset_cls=TANetVideoDataset, emit_uint8: bool = False):
+        self.tta = dataset_cls(cfg, source, records, dataset_type="tta",
+                               seed=seed, emit_uint8=emit_uint8)
         self.eval = dataset_cls(cfg, source, self.tta.records, dataset_type="eval",
-                                seed=seed + 1)
+                                seed=seed + 1, emit_uint8=emit_uint8)
 
     def __len__(self):
         return len(self.tta)
