@@ -218,6 +218,43 @@ def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
     return {"params": params, "batch_stats": {}}
 
 
+def inflate_swin2d_checkpoint(sd, num_classes: Optional[int] = None,
+                              patch_t: int = 2, window_t: int = 8,
+                              depths=(2, 2, 18, 2)) -> dict:
+    """Inflate an *image* Swin checkpoint to Video Swin variables —
+    counterpart of ``SwinTransformer3D.inflate_weights``
+    (swin_transformer.py:563-614):
+
+    * ``patch_embed.proj`` (C, 3, ph, pw) -> (C, 3, pt, ph, pw) replicated
+      along time / pt;
+    * ``relative_position_bias_table`` ((2wh-1)(2ww-1), nH) -> replicated
+      (2wd-1) times along the temporal-offset axis;
+    * everything else maps 1:1 (2D keys lack the temporal dims).
+    """
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    sd = _to_numpy(strip_module_prefix(sd))
+    out = {}
+    for k, v in sd.items():
+        if k == "patch_embed.proj.weight":
+            v = np.repeat(v[:, :, None], patch_t, axis=2) / float(patch_t)
+        elif k.endswith("relative_position_bias_table"):
+            v = np.tile(v, (2 * window_t - 1, 1))
+        elif k.endswith("relative_position_index") or "attn_mask" in k:
+            continue
+        out["backbone." + k] = v
+    if "backbone.head.weight" in out and num_classes is not None:
+        out.pop("backbone.head.weight", None)
+        out.pop("backbone.head.bias", None)
+    if num_classes is not None and "cls_head.fc_cls.weight" not in out:
+        rng = np.random.default_rng(0)
+        feat = out["backbone.norm.weight"].shape[0]
+        out["cls_head.fc_cls.weight"] = rng.normal(
+            0, 0.01, (num_classes, feat)).astype(np.float32)
+        out["cls_head.fc_cls.bias"] = np.zeros(num_classes, np.float32)
+    return convert_swin_checkpoint(out, num_classes, depths=depths)
+
+
 def load_reference_stats(mean_file: str, var_file: str, arch: str,
                          use_tam: bool = True) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Load the reference's object-array ``.npy`` stat pair into
