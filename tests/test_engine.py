@@ -59,6 +59,9 @@ def test_select_tap_names(setup):
 
 def test_online_adaptation_updates(setup):
     cfg, model, variables, src = setup
+    # partial_bn=True here to exercise the freezing mask; the live default
+    # is False (--partial_bn store_true, opts.py:48, basics.py:1474)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, partial_bn=True))
     eng = VittaEngine(model, cfg, variables, src, donate=False)
     state = eng.init_state()
     views, clip, label = _data(0)
@@ -91,6 +94,21 @@ def test_online_adaptation_updates(setup):
         variables["params"], state.ema, views, jax.random.PRNGKey(9))
     g = grads["base_model"]["layer3_0"]["tam"]["g_bn"]["scale"]
     assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_default_no_partial_bn_updates_bn_affine(setup):
+    """Live default: partial_bn False (opts.py:48) -> BN2d affine params
+    receive nonzero SGD updates."""
+    cfg, model, variables, src = setup
+    assert cfg.model.partial_bn is False
+    eng = VittaEngine(model, cfg, variables, src, donate=False)
+    state = eng.init_state()
+    views, _clip, _label = _data(7)
+    grads, _aux = jax.grad(eng._losses, has_aux=True)(
+        state.params, state.ema, views, jax.random.PRNGKey(11))
+    updates, _ = eng.tx.update(grads, state.opt_state, state.params)
+    u = updates["base_model"]["layer3_0"]["bn1"]["scale"]
+    assert float(jnp.sum(jnp.abs(u))) > 0.0
 
 
 def test_ema_carries_across_steps(setup):

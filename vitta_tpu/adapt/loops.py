@@ -19,7 +19,8 @@ from vitta_tpu.utils.meters import AverageMeter
 
 def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
                logger=None, print_freq: int = 20,
-               state: Optional[TTAState] = None) -> Tuple[list, TTAState, dict]:
+               state: Optional[TTAState] = None,
+               metrics_writer=None) -> Tuple[list, TTAState, dict]:
     """Run the online TTA loop over one corruption stream.
 
     ``paired_data`` yields (tta_views (V,T,S,S,3), eval_clip (E,T,S,S,3),
@@ -44,6 +45,11 @@ def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
         losses_ce.update(float(m.loss_ce))
         batch_time.update(time.time() - end)
         end = time.time()
+        if metrics_writer is not None:
+            metrics_writer.scalar("tta/loss_reg", losses_reg.val, bi)
+            metrics_writer.scalar("tta/loss_consis", losses_consis.val, bi)
+            metrics_writer.scalar("tta/top1_avg", top1.avg, bi)
+            metrics_writer.scalar("tta/step_ms", batch_time.val * 1000, bi)
         if logger and (bi % print_freq == 0):
             logger.debug(
                 f"TTA [{bi}] time {batch_time.val:.3f} ({batch_time.avg:.3f}) "

@@ -41,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     # model (opts.py:43-58)
     p.add_argument("--arch", default="tanet",
                    choices=["tanet", "videoswintransformer", "i3d_resnet18",
-                            "i3d_resnet50", "r2plus1d"])
+                            "i3d_resnet50", "i3d_incep", "r2plus1d",
+                            "videomae"])
     p.add_argument("--model_path", default="")
+    p.add_argument("--partial_bn", action="store_true")
     p.add_argument("--num_clips", type=int, default=1)
     p.add_argument("--frame_uniform", type=str2bool, default=True)
     p.add_argument("--frame_interval", type=int, default=2)
@@ -109,7 +111,8 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
     model = dataclasses.replace(
         base.model, arch=args.arch,
         num_classes=num_classes_for(args.dataset),
-        checkpoint_path=args.model_path)
+        checkpoint_path=args.model_path,
+        partial_bn=args.partial_bn)
     optim = dataclasses.replace(
         base.optim, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay,

@@ -71,7 +71,10 @@ class ModelConfig:
     checkpoint_path: str = ""
     # TANet / TSN
     dropout: float = 0.8               # TSN dropout before new_fc
-    partial_bn: bool = True            # freeze BN2d affine except first (tanet.py:182-198)
+    # partial-BN (freeze BN2d affine except the first, tanet.py:182-198) is
+    # OFF in the live runs: --partial_bn is store_true (opts.py:48, default
+    # False) and passed through at basics.py:1474.
+    partial_bn: bool = False
     consensus_type: str = "avg"
     # Video Swin-B (fixed config, reference recognizer3d.py:45-90)
     patch_size: Tuple[int, int, int] = (2, 4, 4)
