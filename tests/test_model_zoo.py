@@ -67,3 +67,42 @@ def test_videomae_shapes_and_ln_taps():
     assert out.shape == (1, K)
     taps = flatten_taps(aux["taps"])
     assert "blocks_0.norm1" in taps and "norm" in taps
+
+
+def test_videomae_checkpoint_converter():
+    """timm-style VideoMAE state_dict -> flax variables (incl. the split
+    q_bias/v_bias convention with zero k bias)."""
+    import torch
+    import torch.nn as nn
+    from vitta_tpu.utils.checkpoint import convert_videomae_checkpoint
+
+    D, DEPTH = 32, 2
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1, self.norm2 = nn.LayerNorm(D), nn.LayerNorm(D)
+            self.attn = nn.Module()
+            self.attn.qkv = nn.Linear(D, 3 * D)
+            self.attn.proj = nn.Linear(D, D)
+            self.mlp = nn.Module()
+            self.mlp.fc1 = nn.Linear(D, 4 * D)
+            self.mlp.fc2 = nn.Linear(4 * D, D)
+
+    class TorchViT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = nn.Module()
+            self.patch_embed.proj = nn.Conv3d(3, D, (2, 16, 16), (2, 16, 16))
+            self.blocks = nn.ModuleList([Block() for _ in range(DEPTH)])
+            self.norm = nn.LayerNorm(D)
+            self.head = nn.Linear(D, K)
+
+    torch.manual_seed(0)
+    variables = convert_videomae_checkpoint(TorchViT().state_dict(), K,
+                                            depth=DEPTH)
+    model = VideoMAE(num_classes=K, embed_dim=D, depth=DEPTH, num_heads=2,
+                     drop_path_rate=0.0)
+    out = model.apply(variables, jnp.zeros((1, 4, 32, 32, 3), jnp.float32),
+                      train=False)
+    assert out.shape == (1, K)

@@ -21,6 +21,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (the reference has no multi-process path
+    at all — no torch.distributed anywhere, SURVEY.md §2.7).  On a
+    multi-host TPU slice call this once per host before building meshes;
+    jax picks coordinates from the TPU environment when args are None.
+    Returns the global device count."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("stream",),
               shape: Optional[Sequence[int]] = None) -> Mesh:

@@ -218,6 +218,54 @@ def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
     return {"params": params, "batch_stats": {}}
 
 
+def convert_videomae_checkpoint(sd, num_classes: Optional[int] = None,
+                                depth: int = 12) -> dict:
+    """Convert a VideoMAE fine-tuned torch checkpoint (timm-style keys:
+    ``patch_embed.proj``, ``blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}``, ``fc_norm``/``norm``, ``head``) to flax variables
+    for :class:`vitta_tpu.models.videomae.VideoMAE`."""
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    sd = _to_numpy(strip_module_prefix(sd))
+    params: dict = {}
+
+    def ln(flax_path, torch_prefix):
+        _set(params, flax_path + ("scale",), sd[torch_prefix + ".weight"])
+        _set(params, flax_path + ("bias",), sd[torch_prefix + ".bias"])
+
+    # Conv3d (C, 3, pt, ph, pw) -> (pt, ph, pw, 3, C)
+    _set(params, ("patch_embed", "kernel"),
+         sd["patch_embed.proj.weight"].transpose(2, 3, 4, 1, 0))
+    _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    for i in range(depth):
+        bp = (f"blocks_{i}",)
+        tb = f"blocks.{i}"
+        ln(bp + ("norm1",), f"{tb}.norm1")
+        ln(bp + ("norm2",), f"{tb}.norm2")
+        _set(params, bp + ("attn", "qkv", "kernel"), sd[f"{tb}.attn.qkv.weight"].T)
+        if f"{tb}.attn.qkv.bias" in sd:
+            _set(params, bp + ("attn", "qkv", "bias"), sd[f"{tb}.attn.qkv.bias"])
+        else:  # VideoMAE stores separate q/v biases with zero k bias
+            q = sd.get(f"{tb}.attn.q_bias")
+            vb = sd.get(f"{tb}.attn.v_bias")
+            if q is not None:
+                _set(params, bp + ("attn", "qkv", "bias"),
+                     np.concatenate([q, np.zeros_like(q), vb]))
+        _set(params, bp + ("attn", "proj", "kernel"), sd[f"{tb}.attn.proj.weight"].T)
+        _set(params, bp + ("attn", "proj", "bias"), sd[f"{tb}.attn.proj.bias"])
+        _set(params, bp + ("mlp", "fc1", "kernel"), sd[f"{tb}.mlp.fc1.weight"].T)
+        _set(params, bp + ("mlp", "fc1", "bias"), sd[f"{tb}.mlp.fc1.bias"])
+        _set(params, bp + ("mlp", "fc2", "kernel"), sd[f"{tb}.mlp.fc2.weight"].T)
+        _set(params, bp + ("mlp", "fc2", "bias"), sd[f"{tb}.mlp.fc2.bias"])
+    norm_key = "fc_norm" if "fc_norm.weight" in sd else "norm"
+    ln(("norm",), norm_key)
+    _set(params, ("head", "kernel"), sd["head.weight"].T)
+    _set(params, ("head", "bias"), sd["head.bias"])
+    if num_classes is not None:
+        assert params["head"]["bias"].shape == (num_classes,)
+    return {"params": params, "batch_stats": {}}
+
+
 def inflate_swin2d_checkpoint(sd, num_classes: Optional[int] = None,
                               patch_t: int = 2, window_t: int = 8,
                               depths=(2, 2, 18, 2)) -> dict:
