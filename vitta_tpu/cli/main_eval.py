@@ -110,7 +110,8 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
         return result, state
     else:
         baseline_name = cfg.runtime.baseline
-        b = setup_baseline(baseline_name, model, cfg, variables)
+        kw = {"filter_k": cfg.runtime.t3a_filter_k} if baseline_name == "t3a" else {}
+        b = setup_baseline(baseline_name, model, cfg, variables, **kw)
         acc = b.run(paired.eval, batch_size=max(1, cfg.data.batch_size))
         logger.info(f"[{corruption}] baseline={baseline_name} top1 {acc:.3f}")
         return [acc], None

@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tta", type=str2bool, default=True)
     p.add_argument("--baseline", default="source",
                    choices=["source", "norm", "tent", "shot", "dua", "t3a"])
+    p.add_argument("--t3a_filter_k", type=int, default=100,
+                   help="support-set size per class for T3A (undeclared in "
+                        "the reference parser, injected manually there; "
+                        "t3a.py:52)")
     p.add_argument("--compute_stat", default="",
                    choices=["", "mean_var", "cossim"])
     p.add_argument("--use_src_stat_in_reg", type=str2bool, default=True)
@@ -138,7 +142,7 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
         spatiotemp_var_clean_file=args.spatiotemp_var_clean_file)
     runtime = dataclasses.replace(
         base.runtime, result_dir=args.result_dir, baseline=args.baseline,
-        verbose=args.verbose,
+        t3a_filter_k=args.t3a_filter_k, verbose=args.verbose,
         print_freq=args.print_freq, seed=args.seed,
         n_parallel_streams=args.n_parallel_streams)
     return VittaConfig(data=data, model=model, optim=optim, tta=tta,

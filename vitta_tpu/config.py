@@ -154,6 +154,7 @@ class RuntimeConfig:
 
     result_dir: str = "results"
     baseline: str = "source"   # active when tta=False (opts.py:129-131)
+    t3a_filter_k: int = 100    # undeclared in the reference parser (t3a.py:52)
     verbose: bool = True
     print_freq: int = 20
     seed: int = 0
