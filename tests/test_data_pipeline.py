@@ -50,6 +50,22 @@ def test_synthetic_source_deterministic():
     assert src.num_frames("vid1") == src.num_frames("vid1")
 
 
+def test_frame_dir_source(tmp_path):
+    from PIL import Image
+    from vitta_tpu.data.video_reader import FrameDirVideoSource
+    d = tmp_path / "vidA"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(5, 20, 24, 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        Image.fromarray(f).save(str(d / f"img_{i+1:05d}.png"))
+    src = FrameDirVideoSource(str(tmp_path), image_tmpl="img_{:05d}.png")
+    assert src.num_frames("vidA") == 5
+    got = src.get_batch("vidA", np.array([0, 2, 4]))
+    assert got.shape == (3, 20, 24, 3)
+    np.testing.assert_array_equal(got, frames[[0, 2, 4]])
+
+
 def test_transforms_shapes_and_range():
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, size=(T, 48, 64, 3), dtype=np.uint8)

@@ -117,12 +117,41 @@ class SyntheticVideoSource(VideoSource):
         return out
 
 
+class FrameDirVideoSource(VideoSource):
+    """Frame-folder (JPEG) videos: ``<data_dir>/<path>/<tmpl % (i+1)>``
+    — the reference's 'frame' datatype (opts.py:23; deprecated loaders
+    MyTSNDataset/MyDataset, datasets_/dataset_deprecated.py:28-396)."""
+
+    def __init__(self, data_dir: str, image_tmpl: str = "img_{:05d}.jpg"):
+        self.data_dir = data_dir
+        self.image_tmpl = image_tmpl
+
+    def _dir(self, path: str) -> str:
+        return os.path.join(self.data_dir, path)
+
+    def num_frames(self, path: str) -> int:
+        import glob
+        pattern = self.image_tmpl.replace("{:05d}", "*").replace("{:06d}", "*")
+        return len(glob.glob(os.path.join(self._dir(path), pattern)))
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        from PIL import Image
+        frames = []
+        for i in np.asarray(indices):
+            # frame files are 1-based (dataset_deprecated.py image_tmpl use)
+            fp = os.path.join(self._dir(path), self.image_tmpl.format(int(i) + 1))
+            frames.append(np.asarray(Image.open(fp).convert("RGB")))
+        return np.stack(frames)
+
+
 def make_video_source(kind: str, data_dir: str = "", vid_format: str = "",
                       **kw) -> VideoSource:
     if kind == "decord":
         return DecordVideoSource(data_dir, vid_format)
     if kind == "npy":
         return NpyVideoSource(data_dir)
+    if kind == "frames":
+        return FrameDirVideoSource(data_dir, **kw)
     if kind == "synthetic":
         return SyntheticVideoSource(**kw)
     raise ValueError(f"unknown video source kind={kind}")
