@@ -152,6 +152,40 @@ def full_res_3crop(frames: np.ndarray, crop_size: int, scale_size: int) -> np.nd
     return out
 
 
+def oversample_10crop(frames: np.ndarray, crop_size: int,
+                      scale_size: Optional[int] = None) -> np.ndarray:
+    """GroupOverSample 10-crop (transforms.py:194-225): the 5 fixed TSN
+    offsets (corners + center) each with its horizontal flip.
+    frames: (T, H, W, 3) -> (10, T, crop, crop, 3)."""
+    if scale_size is not None:
+        frames = np.stack([resize_shorter_side(f, scale_size) for f in frames])
+    h, w = frames.shape[1:3]
+    offsets = fill_fix_offsets(False, w, h, crop_size, crop_size)
+    out = np.empty((2 * len(offsets), frames.shape[0], crop_size, crop_size, 3),
+                   np.uint8)
+    for i, (ox, oy) in enumerate(offsets):
+        crop = frames[:, oy:oy + crop_size, ox:ox + crop_size]
+        out[2 * i] = crop
+        out[2 * i + 1] = crop[:, :, ::-1]
+    return out
+
+
+def subgroupwise_hflip(view_frames: np.ndarray, label: int,
+                       label_transforms: Optional[dict],
+                       rng: np.random.Generator) -> np.ndarray:
+    """Per-temporal-view random horizontal flip
+    (SubgroupWise_RandomHorizontalFlip_TANet, transforms.py:56-100):
+    each view flips independently with p=0.5; skipped entirely when the
+    label is direction-sensitive (in the label map)."""
+    if label_transforms is not None and label in label_transforms:
+        return view_frames
+    out = view_frames.copy()
+    for vi in range(view_frames.shape[0]):
+        if rng.random() < 0.5:
+            out[vi] = out[vi, :, :, ::-1]
+    return out
+
+
 def random_resized_crop_bbox(img_h: int, img_w: int,
                              rng: np.random.Generator,
                              area_range=(0.08, 1.0),
