@@ -4,8 +4,9 @@ Functional re-design of ``Video_TANetDataSet``
 (models/tanet_models/video_dataset.py:28-358) and ``Video_SwinDataset``
 (models/videoswintransformer_models/video_dataset.py:8-112): a dataset
 is an indexable of per-video samples; all dynamism (frame counts, view
-sampling) stays on the host, the device always sees
-``(n_views, T, S, S, 3)`` float32.
+sampling) stays on the host, the device always sees static
+``(n_views, T, S, S, 3)`` — float32 host-normalized, or uint8 with
+``emit_uint8`` (normalization then fuses into the jitted step).
 
 dataset_type:
 * ``'tta'``  — augmented views (n_augmented_views x clip_len frames,

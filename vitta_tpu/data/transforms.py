@@ -15,9 +15,9 @@ Replicates the reference TANet group transforms
   ``(T, H, W, 3)`` float32 directly (channels-last; the reference's
   channel-stacked layout is just a reshape away).
 
-PIL is used for the actual resampling so results match the reference's
-PIL-based pipeline exactly; a vectorized C++ path can substitute later
-behind the same function signatures.
+Resampling runs through the native C++ library (csrc/vitta_host.cpp,
+PIL-exact with antialias, cv2-exact without) with a PIL fallback when no
+toolchain is available.
 """
 
 from __future__ import annotations

@@ -24,7 +24,7 @@ to the (N,T)-fold so this matches the reference's
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -122,30 +122,6 @@ class LayerNorm(nn.Module):
         if self.tap:
             self.sow(TAPS, "stat", channel_stats(y), reduce_fn=_tap_overwrite)
         return y
-
-
-class Conv2d(nn.Module):
-    """2D conv with torch padding/stride conventions, channels-last,
-    weights stored torch-shaped via flax (H, W, Cin, Cout)."""
-
-    features: int
-    kernel_size: Tuple[int, int]
-    strides: Tuple[int, int] = (1, 1)
-    padding: Tuple[int, int] = (0, 0)
-    use_bias: bool = False
-    groups: int = 1
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=[(p, p) for p in self.padding],
-            use_bias=self.use_bias,
-            feature_group_count=self.groups,
-            name="conv",
-        )(x)
 
 
 def max_pool_torch(x, window: int, stride: int, padding: int):

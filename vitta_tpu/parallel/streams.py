@@ -15,8 +15,6 @@ single-GPU loop 12 times (tta_tanet_ucf101.py:31-45).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
