@@ -14,5 +14,6 @@ from vitta_tpu.cli.main_eval import run_compute_stats
 
 if __name__ == "__main__":
     args, cfg = get_opts()
-    paths = run_compute_stats(cfg, source_kind=args.video_source)
+    paths = run_compute_stats(cfg, source_kind=args.video_source,
+                              compute_stat=args.compute_stat or "mean_var")
     print(paths)

@@ -15,6 +15,8 @@ from vitta_tpu.config import CORRUPTIONS
 if __name__ == "__main__":
     args, cfg = get_opts()
     corruptions = list(CORRUPTIONS)
+    if args.corruptions:
+        corruptions = list(args.corruptions)
     results = run_corruption_sweep(cfg, corruptions,
                                    source_kind=args.video_source)
     print({k: [round(float(x), 3) for x in v] for k, v in results.items()})

@@ -14,6 +14,8 @@ if __name__ == "__main__":
     sys.argv.insert(2, "videoswintransformer")
     args, cfg = get_opts()
     corruptions = [f"{c}_shuffled" for c in CORRUPTIONS]
+    if args.corruptions:
+        corruptions = list(args.corruptions)
     sweep = (run_parallel_sweep if cfg.runtime.n_parallel_streams > 1
              else run_corruption_sweep)
     results = sweep(cfg, corruptions, source_kind=args.video_source)

@@ -23,6 +23,8 @@ from vitta_tpu.config import CORRUPTIONS
 if __name__ == "__main__":
     args, cfg = get_opts()
     corruptions = [f"{c}_shuffled" for c in CORRUPTIONS]
+    if args.corruptions:
+        corruptions = list(args.corruptions)
     sweep = (run_parallel_sweep if cfg.runtime.n_parallel_streams > 1
              else run_corruption_sweep)
     results = sweep(cfg, corruptions, source_kind=args.video_source)

@@ -51,6 +51,7 @@ def test_norm_changes_stats(setup):
     assert 0.0 <= acc <= 100.0
 
 
+@pytest.mark.slow  # adaptation-loop compiles
 def test_tent_updates_only_norm_affine(setup):
     cfg, model, variables, ds = setup
     b = setup_baseline("tent", model, cfg, variables)
@@ -60,6 +61,7 @@ def test_tent_updates_only_norm_affine(setup):
     assert 0.0 <= acc <= 100.0
 
 
+@pytest.mark.slow  # adaptation-loop compiles
 def test_shot(setup):
     cfg, model, variables, ds = setup
     b = setup_baseline("shot", model, cfg, variables)

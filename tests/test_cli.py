@@ -8,6 +8,7 @@ from vitta_tpu.cli.opts import get_opts
 from vitta_tpu.cli.drivers import run_corruption_sweep
 from vitta_tpu.cli.main_eval import evaluate, run_compute_stats
 from vitta_tpu.data.records import VideoRecord
+import pytest
 
 T, HW = 2, 32
 
@@ -36,6 +37,7 @@ def test_flags_roundtrip():
     assert cfg.data.clip_length == T
 
 
+@pytest.mark.slow  # engine compile (~90 s)
 def test_evaluate_tta_bns_synthetic():
     # BNS mode needs no precomputed stats file -> exercises the full TTA
     # dispatcher without fixtures

@@ -14,10 +14,12 @@ from vitta_tpu.parallel.data_eval import sharded_validate
 from vitta_tpu.parallel.mesh import make_mesh
 from vitta_tpu.baselines import setup_baseline
 from vitta_tpu.utils.analysis import count_params, model_analysis, param_table
+import pytest
 
 T, HW, K = 2, 32, 5
 
 
+@pytest.mark.slow  # 8-device compile (~30 s)
 def test_sharded_validate_matches_single_device():
     cfg = tanet_ucf101_preset()
     cfg = cfg.replace(

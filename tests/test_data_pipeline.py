@@ -16,6 +16,7 @@ from vitta_tpu.adapt.engine import VittaEngine, flatten_taps
 from vitta_tpu.adapt.loops import tta_stream, validate
 from vitta_tpu.models.tanet import TANet
 
+
 T, HW, K, V = 2, 32, 5, 2
 
 
@@ -96,6 +97,7 @@ def test_dataset_shapes():
     assert e3.frames.shape == (3, T, HW, HW, 3)
 
 
+@pytest.mark.slow  # stream compile (~60 s)
 def test_end_to_end_tta_stream():
     cfg = tiny_cfg()
     model = TANet(num_classes=K, clip_length=T)

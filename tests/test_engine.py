@@ -12,6 +12,8 @@ from vitta_tpu.config import tanet_ucf101_preset, DataConfig, ModelConfig, TTACo
 from vitta_tpu.models.tanet import TANet
 from vitta_tpu.adapt.engine import VittaEngine, flatten_taps, select_tap_names
 
+pytestmark = pytest.mark.slow  # full adapt-step XLA compiles (~5 min)
+
 T, HW, K, V = 2, 32, 5, 2
 
 

@@ -18,6 +18,9 @@ from vitta_tpu.data.dataset import PairedTTADataset
 from vitta_tpu.data.records import VideoRecord
 from vitta_tpu.data.video_reader import SyntheticVideoSource
 from vitta_tpu.models.tanet import TANet
+import pytest
+
+pytestmark = pytest.mark.slow  # two seeded end-to-end runs (~35 s)
 
 T, HW, K, V = 2, 32, 5, 2
 

@@ -22,6 +22,7 @@ def _init_apply(model, x):
 
 
 @pytest.mark.parametrize("depth,blocks_bn", [(18, "bn2"), (50, "bn3")])
+@pytest.mark.slow  # forward compile of a full model
 def test_i3d_shapes_and_taps(depth, blocks_bn):
     x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
     model = I3D(num_classes=K, depth=depth)
@@ -41,6 +42,7 @@ def test_i3d_inflation():
     np.testing.assert_allclose(w3d.sum(0), w2d, rtol=1e-6)
 
 
+@pytest.mark.slow  # forward compile of a full model
 def test_r2plus1d_shapes():
     x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
     model = R2Plus1D(num_classes=K)
@@ -50,6 +52,7 @@ def test_r2plus1d_shapes():
     assert any("layer4" in n for n in taps)
 
 
+@pytest.mark.slow  # forward compile of a full model
 def test_i3d_inception_shapes():
     from vitta_tpu.models.i3d_incep import InceptionI3d
     x = jnp.zeros((1, 8, 32, 32, 3), jnp.float32)
@@ -60,6 +63,7 @@ def test_i3d_inception_shapes():
     assert "Mixed_5c.b0.bn" in taps
 
 
+@pytest.mark.slow  # forward compile of a full model
 def test_videomae_shapes_and_ln_taps():
     x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
     model = VideoMAE(num_classes=K, embed_dim=32, depth=2, num_heads=2)

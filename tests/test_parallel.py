@@ -13,6 +13,8 @@ from vitta_tpu.models.tanet import TANet
 from vitta_tpu.parallel.mesh import make_mesh
 from vitta_tpu.parallel.streams import StreamParallelEngine
 
+pytestmark = pytest.mark.slow  # multi-device shard_map compiles (~4 min)
+
 T, HW, K, V = 2, 24, 4, 2
 S = 2  # streams
 

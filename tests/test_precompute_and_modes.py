@@ -86,6 +86,7 @@ def test_weighted_accumulation_matches_reference_meter(model_and_vars):
     np.testing.assert_allclose(stats["base_model.bn1"][0], want, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow  # engine compiles (~35 s each)
 def test_bns_mode_runs(model_and_vars):
     model, variables = model_and_vars
     cfg = tiny_cfg(stat_reg="BNS")
@@ -100,6 +101,7 @@ def test_bns_mode_runs(model_and_vars):
     assert np.isfinite(float(m.loss_reg))
 
 
+@pytest.mark.slow  # engine compiles (~35 s each)
 def test_before_norm_mode(model_and_vars):
     model, variables = model_and_vars
     # source stats from input-side taps of a clean forward
@@ -117,6 +119,7 @@ def test_before_norm_mode(model_and_vars):
     assert np.isfinite(float(m.loss_reg))
 
 
+@pytest.mark.slow  # engine compiles (~35 s each)
 def test_epoch_style_adaptation(model_and_vars):
     model, variables = model_and_vars
     x = jax.random.normal(jax.random.PRNGKey(1), (V, T, HW, HW, 3))

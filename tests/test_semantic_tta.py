@@ -30,6 +30,8 @@ from vitta_tpu.data.video_reader import SyntheticVideoSource
 from vitta_tpu.models.tanet import TANet
 from vitta_tpu.utils.checkpoint import tanet_norm_layers
 
+pytestmark = pytest.mark.slow  # end-to-end mechanism run (~2 min)
+
 T, HW, K = 2, 32, 3
 
 

@@ -9,8 +9,10 @@ from vitta_tpu.cli.drivers import run_corruption_sweep
 from vitta_tpu.cli.opts import get_opts
 from vitta_tpu.data import transforms
 from vitta_tpu.data.records import VideoRecord
+import pytest
 
 
+@pytest.mark.slow  # two-corruption sweep compile (~2 min)
 def test_corruption_sweep_writes_rows(tmp_path):
     argv = ["--clip_length", "2", "--input_size", "32", "--scale_size", "40",
             "--result_dir", str(tmp_path), "--video_source", "synthetic",
@@ -54,3 +56,36 @@ def test_subgroupwise_hflip_label_guard():
         if not np.array_equal(out, views):
             flipped_any = True
     assert flipped_any
+
+
+def test_parallel_sweep_groups_without_padding(tmp_path, monkeypatch):
+    """12 corruptions on an 8-device mesh must run as groups of 8 + 4 —
+    no padded duplicate streams (each stream is a full adaptation run;
+    padding wasted whole streams in round 1)."""
+    import vitta_tpu.cli.drivers as drivers
+    import vitta_tpu.parallel.streams as streams
+
+    argv = ["--clip_length", "2", "--input_size", "32", "--scale_size", "40",
+            "--result_dir", str(tmp_path), "--video_source", "synthetic",
+            "--stat_reg", "BNS"]
+    args, cfg = get_opts(argv)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=4))
+    records = [VideoRecord(f"v{i}", 40 + i, i % 4) for i in range(2)]
+
+    group_sizes = []
+
+    def fake_run(engine, mesh, group, seed=0, logger=None):
+        group_sizes.append((len(group), mesh.devices.size))
+        return [float(10 * len(group) + k) for k in range(len(group))], None
+
+    # the driver imports run_parallel_streams lazily at call time — patch
+    # the defining module
+    monkeypatch.setattr(streams, "run_parallel_streams", fake_run)
+    corruptions = [f"c{i}" for i in range(12)]
+    results = drivers.run_parallel_sweep(cfg, corruptions,
+                                         source_kind="synthetic",
+                                         records=records)
+    assert group_sizes == [(8, 8), (4, 4)]      # mesh sized to the group
+    assert set(results) == set(corruptions) | {"mean"}
+    # per-stream results map back to their corruption in order
+    assert results["c0"] == [80.0] and results["c8"] == [40.0]

@@ -9,6 +9,8 @@ from vitta_tpu.data.dataset import SwinVideoDataset, PairedTTADataset, dataset_c
 from vitta_tpu.data.records import VideoRecord
 from vitta_tpu.data.video_reader import SyntheticVideoSource
 from vitta_tpu.data import transforms
+import pytest
+
 
 T, HW, K, V = 4, 24, 5, 2
 
@@ -50,6 +52,7 @@ def test_shared_crop_box_is_one_per_video():
         assert 0 <= x <= 120 - w and 0 <= y <= 100 - h
 
 
+@pytest.mark.slow  # swin engine compile (~80 s)
 def test_swin_end_to_end_tta():
     import jax
     import jax.numpy as jnp

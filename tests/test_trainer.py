@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from vitta_tpu.adapt.train import Trainer, save_checkpoint, restore_checkpoint
 from vitta_tpu.adapt.precompute import compute_cossim_statistics
 from vitta_tpu.models.tanet import TANet
+import pytest
 
 T, HW, K = 2, 32, 5
 
@@ -21,6 +22,7 @@ def _model_and_vars():
                    "batch_stats": variables["batch_stats"]}
 
 
+@pytest.mark.slow  # train-step compile (~60 s)
 def test_train_step_learns_and_updates_bn(tmp_path):
     model, variables = _model_and_vars()
     trainer = Trainer(model, lr=1e-2, steps_per_epoch=4)

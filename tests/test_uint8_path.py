@@ -12,6 +12,9 @@ from vitta_tpu.data.dataset import TANetVideoDataset
 from vitta_tpu.data.records import VideoRecord
 from vitta_tpu.data.video_reader import SyntheticVideoSource
 from vitta_tpu.models.tanet import TANet
+import pytest
+
+pytestmark = pytest.mark.slow  # two engine compiles (~80 s)
 
 T, HW, K, V = 2, 32, 5, 2
 

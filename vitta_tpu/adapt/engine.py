@@ -43,7 +43,8 @@ import optax
 from vitta_tpu.config import VittaConfig
 from vitta_tpu.ops.losses import (compute_regularization, cross_entropy,
                                   pred_consistency, topk_accuracy)
-from vitta_tpu.ops.stats import TapStats, ema_update
+from vitta_tpu.ops.stats import (CumulativeState, TapStats, cumulative_update,
+                                 ema_update)
 
 TapDict = Dict[str, TapStats]
 
@@ -101,8 +102,12 @@ def select_tap_names(available, chosen_blocks, source_stats=None) -> Tuple[str, 
 class TTAState(NamedTuple):
     params: Any
     opt_state: Any
-    ema: TapDict          # per chosen layer, running estimate
+    ema: TapDict          # per chosen layer: TapStats (EMA) or
+                          # CumulativeState (moving_avg=False meter)
     step: jax.Array       # int32
+    batch_stats: Any = {}  # BN running stats; carried (and updated each
+                           # adapt forward) when fix_BNS=False
+                           # (corpus/basics.py:606-611)
 
 
 class StepMetrics(NamedTuple):
@@ -132,11 +137,26 @@ class VittaEngine:
         self._norm_div255 = cfg.model.arch != "videoswintransformer"
         self.batch_stats = variables.get("batch_stats", {})
         self.init_params = variables["params"]
+        # Statistic type of the live regularization.  The reference live
+        # hook only ever supports one and asserts it is spatiotemp
+        # (norm_stats_utils.py:131); here any single type is honored (the
+        # taps/precompute produce all four) and multi-type lists are
+        # rejected loudly instead of silently collapsing to one.
+        if len(cfg.tta.stat_type) != 1:
+            raise NotImplementedError(
+                f"stat_type={cfg.tta.stat_type}: the regularization loop "
+                "supports exactly one statistic type (the reference asserts "
+                "['spatiotemp'], norm_stats_utils.py:131)")
+        self.stat_type = cfg.tta.stat_type[0]
         # which side of the norm layer the statistics are taken from
         # (opts.py:92 before_norm; BNS always compares the input against
         # the layer's running stats, BNS_utils.py:19-77)
-        self.tap_leaf = "stat_in" if (cfg.tta.before_norm
-                                      or cfg.tta.stat_reg == "BNS") else "stat"
+        from vitta_tpu.models.layers import tap_leaf_name
+        if cfg.tta.stat_reg == "BNS":
+            self.tap_leaf = "stat_in"
+        else:
+            self.tap_leaf = tap_leaf_name(self.stat_type,
+                                          input_side=cfg.tta.before_norm)
 
         if cfg.tta.stat_reg == "BNS":
             src = batch_stats_as_tapdict(self.batch_stats)
@@ -163,13 +183,23 @@ class VittaEngine:
 
     # ------------------------------------------------------------------
     def init_state(self) -> TTAState:
-        zeros_ema = {k: TapStats(jnp.zeros_like(s.mean), jnp.zeros_like(s.var))
-                     for k, s in self.source.items()}
+        if self.cfg.tta.moving_avg or self.cfg.tta.stat_reg == "BNS":
+            # MovingAverageTensor starts from 0 (utils_.py:204-208)
+            zeros_ema = {k: TapStats(jnp.zeros_like(s.mean),
+                                     jnp.zeros_like(s.var))
+                         for k, s in self.source.items()}
+        else:
+            # AverageMeterTensor: running sum + count (utils_.py:190-202)
+            zeros_ema = {k: CumulativeState(jnp.zeros_like(s.mean),
+                                            jnp.zeros_like(s.var),
+                                            jnp.zeros((), jnp.float32))
+                         for k, s in self.source.items()}
         return TTAState(
             params=self.init_params,
             opt_state=self.tx.init(self.init_params),
             ema=zeros_ema,
             step=jnp.zeros((), jnp.int32),
+            batch_stats=self.batch_stats,
         )
 
     # ------------------------------------------------------------------
@@ -181,18 +211,35 @@ class VittaEngine:
             xf = xf / 255.0
         return (xf - self._norm_mean) / self._norm_std
 
-    def _forward_with_taps(self, params, views, rng):
+    def _forward_with_taps(self, params, batch_stats, views, rng):
         views = self._maybe_normalize(views)
-        variables = {"params": params, "batch_stats": self.batch_stats}
-        logits, aux = self.model.apply(
-            variables, views, train=True, mutable=["taps"],
-            rngs={"dropout": rng})
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.cfg.tta.fix_BNS:
+            # norm layers stay in inference form during adaptation
+            # (model.train() + forced BN .eval(), corpus/basics.py:606-611)
+            logits, aux = self.model.apply(
+                variables, views, train=True, mutable=["taps"],
+                rngs={"dropout": rng})
+            new_batch_stats = batch_stats
+        else:
+            # fix_BNS=False: BN layers remain in train mode — batch-stat
+            # normalization AND running-stat updates during the adapt
+            # forward (basics.py:606-611 skipped)
+            logits, aux = self.model.apply(
+                variables, views, train=True,
+                use_running_average=False, update_running_stats=True,
+                mutable=["taps", "batch_stats"], rngs={"dropout": rng})
+            new_batch_stats = aux["batch_stats"]
         taps = flatten_taps(aux["taps"], leaf=self.tap_leaf)
-        return logits, taps
+        return logits, taps, new_batch_stats
 
-    def _losses(self, params, ema, views, rng):
+    def _losses(self, params, ema, batch_stats, views, rng):
         tcfg = self.cfg.tta
-        logits, taps = self._forward_with_taps(params, views, rng)
+        logits, taps, new_batch_stats = self._forward_with_taps(
+            params, batch_stats, views, rng)
+        # prediction consistency over augmented views
+        n_views = tcfg.n_augmented_views if tcfg.if_sample_tta_aug_views else 1
+        bv = logits.shape[0]
         # statistic alignment over chosen layers ("onereg": views already
         # folded into batch before the taps)
         loss_reg = jnp.float32(0.0)
@@ -203,14 +250,17 @@ class VittaEngine:
                 # momentum_bns (BNS_utils.py:55-77)
                 updated = (ema_update(ema[name], taps[name], tcfg.momentum_bns)
                            if tcfg.running_manner else taps[name])
-            else:
+                new_ema[name] = updated
+            elif tcfg.moving_avg:
                 updated = ema_update(ema[name], taps[name], tcfg.momentum_mvg)
-            new_ema[name] = updated
+                new_ema[name] = updated
+            else:
+                # AverageMeterTensor with n = folded batch size
+                # (compute_reg_for_NCTHW, norm_stats_utils.py:247-249)
+                new_ema[name], updated = cumulative_update(
+                    ema[name], taps[name], jnp.float32(bv))
             loss_reg = loss_reg + compute_regularization(
                 self.source[name], updated, tcfg.reg_type)
-        # prediction consistency over augmented views
-        n_views = tcfg.n_augmented_views if tcfg.if_sample_tta_aug_views else 1
-        bv = logits.shape[0]
         view_logits = logits.reshape(bv // n_views, n_views, -1)
         if tcfg.if_sample_tta_aug_views and tcfg.if_pred_consistency:
             loss_consis = pred_consistency(view_logits)
@@ -220,18 +270,21 @@ class VittaEngine:
             loss_consis = jnp.float32(0.0)
             loss = loss_reg
         mean_logits = jnp.mean(view_logits, axis=1)
-        return loss, (loss_reg, loss_consis, mean_logits, new_ema)
+        return loss, (loss_reg, loss_consis, mean_logits, new_ema,
+                      new_batch_stats)
 
     def _adapt_eval_impl(self, state: TTAState, views, eval_clip, label, rng):
         grad_fn = jax.grad(self._losses, has_aux=True)
 
         params, opt_state, ema = state.params, state.opt_state, state.ema
+        batch_stats = state.batch_stats
         loss_reg = loss_consis = jnp.float32(0.0)
         loss_ce = jnp.float32(0.0)
         for gs in range(self.cfg.tta.n_gradient_steps):
             step_rng = jax.random.fold_in(rng, gs)
-            grads, (loss_reg, loss_consis, mean_logits, ema) = grad_fn(
-                params, ema, views, step_rng)
+            grads, (loss_reg, loss_consis, mean_logits, ema,
+                    batch_stats) = grad_fn(params, ema, batch_stats, views,
+                                           step_rng)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             loss_ce = cross_entropy(mean_logits, label)
@@ -239,19 +292,23 @@ class VittaEngine:
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
 
         # inference on the eval clip with updated params, no taps
-        eval_logits = self._apply_eval(params, eval_clip)
+        # (model.eval() at basics.py:692: running-average normalization,
+        # which under fix_BNS=False uses the just-updated running stats)
+        eval_logits = self._apply_eval(params, eval_clip, batch_stats)
         top1, top5 = topk_accuracy(eval_logits, label)
         metrics = StepMetrics(loss_reg, loss_consis, loss_ce, top1, top5,
                               jnp.argmax(eval_logits, -1))
         new_state = TTAState(params, opt_state, ema,
-                             state.step + 1)
+                             state.step + 1, batch_stats)
         return new_state, metrics
 
-    def _apply_eval(self, params, eval_clip):
+    def _apply_eval(self, params, eval_clip, batch_stats=None):
         """Deterministic forward; clips/crops folded in the batch axis are
         averaged (basics.py:695-708)."""
         eval_clip = self._maybe_normalize(eval_clip)
-        variables = {"params": params, "batch_stats": self.batch_stats}
+        variables = {"params": params,
+                     "batch_stats": self.batch_stats
+                     if batch_stats is None else batch_stats}
         logits = self.model.apply(variables, eval_clip, train=False)
         n_eval_views = self.cfg.data.test_crops * int(
             self.cfg.data.sample_style.split("-")[-1]) \
@@ -264,13 +321,14 @@ class VittaEngine:
         """Adaptation without the per-sample eval — the epoch-style legacy
         loop ``test_time_adapt`` (basics.py:760-1084) adapts over the whole
         stream first and evaluates once at the end."""
-        grads, (loss_reg, loss_consis, mean_logits, ema) = jax.grad(
-            self._losses, has_aux=True)(state.params, state.ema, views, rng)
+        grads, (loss_reg, loss_consis, mean_logits, ema, batch_stats) = \
+            jax.grad(self._losses, has_aux=True)(
+                state.params, state.ema, state.batch_stats, views, rng)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
         loss_ce = cross_entropy(mean_logits, label)
-        return TTAState(params, opt_state, ema, state.step + 1), \
+        return TTAState(params, opt_state, ema, state.step + 1, batch_stats), \
             (loss_reg, loss_consis, loss_ce)
 
     def adapt_step(self, state: TTAState, views, label, rng):
@@ -289,8 +347,7 @@ class VittaEngine:
         (basics.py:519-530) — the carry is reset before the step.
         """
         if self.cfg.tta.if_tta_standard == "tta_standard":
-            fresh = self.init_state()
-            state = TTAState(fresh.params, fresh.opt_state, fresh.ema, state.step)
+            state = self.init_state()._replace(step=state.step)
         return self._adapt_eval(state, views, eval_clip, label, rng)
 
     def eval_step(self, params, eval_clip, label):

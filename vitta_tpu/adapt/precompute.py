@@ -56,20 +56,27 @@ class StatAccumulator:
 def compute_source_statistics(model, variables, data_iter,
                               mesh: Optional[Mesh] = None,
                               tap_filter=None, logger=None,
-                              print_freq: int = 50):
+                              print_freq: int = 50,
+                              stat_type: str = "spatiotemp"):
     """``data_iter`` yields (clips (B, T, S, S, 3) float32, labels).
 
-    Returns {tap_name: (mean (C,), var (C,))}.  With a mesh, the batch is
-    sharded over the 'data' axis.
+    Returns {tap_name: (mean, var)} with per-``stat_type`` shapes
+    (ComputeNormStatsHook, norm_stats_utils.py:80-98): (C,) spatiotemp /
+    temp_v2, (C, T) spatial, (C, H, W) temp.  With a mesh, the batch is
+    sharded over the 'data' axis.  The model must have been built with
+    ``stat_type`` in its ``stat_types`` so the taps exist.
     """
+    from vitta_tpu.models.layers import tap_leaf_name
+
     shard = None
     if mesh is not None:
         shard = NamedSharding(mesh, P("data"))
+    leaf = tap_leaf_name(stat_type)
 
     @jax.jit
     def batch_stats(v, x):
         _, aux = model.apply(v, x, train=False, mutable=["taps"])
-        return flatten_taps(aux["taps"])
+        return flatten_taps(aux["taps"], leaf=leaf)
 
     acc = StatAccumulator()
     for bi, (clips, _labels) in enumerate(data_iter):
@@ -135,19 +142,23 @@ def compute_cossim_statistics(model, variables, data_iter, clip_len: int,
 
 
 def save_source_statistics(stats, arch: str, out_dir: str,
-                           use_tam: bool = True, tag: Optional[str] = None):
-    """Write reference-format ``list_spatiotemp_{mean,var}_{tag}.npy``
-    pair plus a name-keyed npz; returns the three paths."""
+                           use_tam: bool = True, tag: Optional[str] = None,
+                           stat_type: str = "spatiotemp"):
+    """Write reference-format ``list_{stat_type}_{mean,var}_{tag}.npy``
+    pair (basics.py:306-307) plus a name-keyed npz; returns the three
+    paths."""
     import os
     import time
     from vitta_tpu.utils.checkpoint import save_stats
 
     os.makedirs(out_dir, exist_ok=True)
     tag = tag or time.strftime("%Y%m%d_%H%M%S")
-    mean_path = os.path.join(out_dir, f"list_spatiotemp_mean_{tag}.npy")
-    var_path = os.path.join(out_dir, f"list_spatiotemp_var_{tag}.npy")
-    save_stats(mean_path, var_path, stats, arch, use_tam=use_tam)
-    npz_path = os.path.join(out_dir, f"spatiotemp_stats_{tag}.npz")
+    mean_path = os.path.join(out_dir, f"list_{stat_type}_mean_{tag}.npy")
+    var_path = os.path.join(out_dir, f"list_{stat_type}_var_{tag}.npy")
+    save_stats(mean_path, var_path, stats, arch, use_tam=use_tam,
+               include_bn1d=(arch == "tanet"
+                             and stat_type in ("temp", "temp_v2")))
+    npz_path = os.path.join(out_dir, f"{stat_type}_stats_{tag}.npz")
     flat = {}
     for name, (m, v) in stats.items():
         flat[f"mean/{name}"] = m

@@ -77,17 +77,17 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
     n_dev = min(len(jax.devices()),
                 cfg.runtime.n_parallel_streams if cfg.runtime.n_parallel_streams > 1
                 else len(jax.devices()))
-    mesh = make_mesh(n_dev, ("stream",))
-    # streams are sharded over the mesh: run in groups of n_dev
+    # streams are sharded over the mesh: run in groups of <= n_dev, with
+    # the remainder group on a correspondingly smaller mesh (no padded
+    # duplicate streams; per-group state is fresh inside
+    # run_parallel_streams)
     accs = []
     for g0 in range(0, len(datasets), n_dev):
         group = datasets[g0:g0 + n_dev]
-        while len(group) < n_dev:       # pad with a repeat to keep S == n_dev
-            group.append(group[-1])
+        mesh = make_mesh(len(group), ("stream",))
         got, _state = run_parallel_streams(engine, mesh, group,
                                            seed=cfg.runtime.seed, logger=logger)
-        accs.extend(got[:len(datasets[g0:g0 + n_dev])])
-    accs = accs[:len(corruptions)]
+        accs.extend(got)
     writer = ResultWriter(cfg.runtime.result_dir, cfg)
     results = {}
     for corruption, acc in zip(corruptions, accs):

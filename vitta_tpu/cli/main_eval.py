@@ -63,11 +63,22 @@ def load_variables(cfg: VittaConfig, model, seed: int = 0):
 
 
 def load_source_stats(cfg: VittaConfig):
+    """Pick the precomputed stat-file pair for the configured stat type
+    (reference load_precomputed_statistics, basics.py:749-757; the
+    temporal pair serves both temp and temp_v2)."""
     t = cfg.tta
-    if t.spatiotemp_mean_clean_file and t.spatiotemp_var_clean_file:
-        return load_reference_stats(t.spatiotemp_mean_clean_file,
-                                    t.spatiotemp_var_clean_file,
-                                    cfg.model.arch)
+    st = t.stat_type[0] if t.stat_type else "spatiotemp"
+    pair = {
+        "spatiotemp": (t.spatiotemp_mean_clean_file, t.spatiotemp_var_clean_file),
+        "spatial": (t.spatial_mean_clean_file, t.spatial_var_clean_file),
+        "temp": (t.temp_mean_clean_file, t.temp_var_clean_file),
+        "temp_v2": (t.temp_mean_clean_file, t.temp_var_clean_file),
+    }[st]
+    if pair[0] and pair[1]:
+        return load_reference_stats(
+            pair[0], pair[1], cfg.model.arch,
+            include_bn1d=(cfg.model.arch == "tanet"
+                          and st in ("temp", "temp_v2")))
     return None
 
 
@@ -101,10 +112,19 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
                 "tta=True needs precomputed source statistics "
                 "(--spatiotemp_{mean,var}_clean_file) — run compute_stats first")
         engine = VittaEngine(model, cfg, variables, src_stats)
-        result, state, meters = tta_stream(
-            engine, Prefetcher(paired, device_put=False),
-            seed=cfg.runtime.seed, logger=logger,
-            print_freq=cfg.runtime.print_freq)
+        # JSONL scalar stream in the result dir — the counterpart of the
+        # reference's tensorboardX writer (main_eval.py:85)
+        from vitta_tpu.utils.observability import MetricsWriter
+        mw = MetricsWriter(cfg.runtime.result_dir,
+                           name=f"metrics_{corruption or 'run'}")
+        try:
+            result, state, meters = tta_stream(
+                engine, Prefetcher(paired, device_put=False,
+                                   n_workers=cfg.data.num_workers),
+                seed=cfg.runtime.seed, logger=logger,
+                print_freq=cfg.runtime.print_freq, metrics_writer=mw)
+        finally:
+            mw.close()
         logger.info(f"[{corruption}] ViTTA top1 {result[0]:.3f} "
                     f"(mean step time {meters['batch_time'].avg * 1000:.1f} ms)")
         return result, state
@@ -112,19 +132,43 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
         baseline_name = cfg.runtime.baseline
         kw = {"filter_k": cfg.runtime.t3a_filter_k} if baseline_name == "t3a" else {}
         b = setup_baseline(baseline_name, model, cfg, variables, **kw)
-        acc = b.run(paired.eval, batch_size=max(1, cfg.data.batch_size))
+        if baseline_name == "dua":
+            # DUA consumes a (raw-frames, eval) dataset pair and adapts
+            # per video on augmented batches (reference main_eval.py:177-207,
+            # get_dataset_tanet_dua basics.py:1294-1347)
+            from vitta_tpu.data.dataset import dataset_cls_for
+            source = make_video_source(source_kind, cfg.data.video_data_dir,
+                                       cfg.data.vid_format)
+            raw_ds = dataset_cls_for(cfg.model.arch)(
+                cfg, source, paired.eval.records, dataset_type="raw",
+                seed=cfg.runtime.seed, emit_uint8=True)
+            acc = b.run(raw_ds, paired.eval,
+                        batch_size=max(1, cfg.data.batch_size),
+                        seed=cfg.runtime.seed)
+        else:
+            acc = b.run(paired.eval, batch_size=max(1, cfg.data.batch_size))
         logger.info(f"[{corruption}] baseline={baseline_name} top1 {acc:.3f}")
         return [acc], None
 
 
 def run_compute_stats(cfg: VittaConfig, source_kind: str = "decord",
                       records=None, out_dir: Optional[str] = None,
-                      logger=None):
+                      logger=None, compute_stat: str = "mean_var"):
     """Source-statistic precompute entry (reference
-    compute_stats/compute_spatiotemp_stats_clean_train_*.py)."""
+    compute_stats/compute_spatiotemp_stats_clean_train_*.py), dispatching
+    on ``compute_stat`` like the reference ``eval()``
+    (corpus/main_eval.py:87-94): 'mean_var' -> per-layer channel stats,
+    'cossim' -> pairwise-similarity relation maps."""
+    import os
+    import time
+
+    import numpy as np
+
     from vitta_tpu.utils.checkpoint import tanet_norm_layers
+    from vitta_tpu.adapt.precompute import compute_cossim_statistics
 
     logger = logger or get_logger(cfg.runtime.result_dir)
+    stat_type = cfg.tta.stat_type[0] if cfg.tta.stat_type else "spatiotemp"
     model = get_model(cfg)
     variables = load_variables(cfg, model, seed=cfg.runtime.seed)
     from vitta_tpu.data.dataset import dataset_cls_for
@@ -132,15 +176,35 @@ def run_compute_stats(cfg: VittaConfig, source_kind: str = "decord",
                                cfg.data.vid_format)
     ds = dataset_cls_for(cfg.model.arch)(cfg, source, records,
                                          dataset_type="eval")
-    if cfg.model.arch == "tanet":
+    if cfg.model.arch == "tanet" and stat_type not in ("temp", "temp_v2"):
+        # spatial/spatiotemp stats only exist on the BN2d layers; the
+        # temporal types include BatchNorm1d too (basics.py:231-238)
         bn2d = {n for n, kind in tanet_norm_layers() if kind == "bn2d"}
         tap_filter = lambda n: n in bn2d
     else:
         tap_filter = None
+    out = out_dir or cfg.runtime.result_dir
+    if compute_stat == "cossim":
+        sims = compute_cossim_statistics(
+            model, variables, batched_eval_iter(ds, cfg.data.batch_size),
+            clip_len=cfg.data.clip_length, stat_type=stat_type,
+            tap_filter=tap_filter, logger=logger)
+        os.makedirs(out, exist_ok=True)
+        tag = time.strftime("%Y%m%d_%H%M%S")
+        # reference layout: one object-array file in choose_layers order
+        # (basics.py:393-401)
+        from vitta_tpu.utils.checkpoint import swin_norm_layers
+        order = [n for n, _ in (tanet_norm_layers() if cfg.model.arch == "tanet"
+                                else swin_norm_layers())]
+        ordered = [sims[n] for n in order if n in sims]
+        path = os.path.join(out, f"list_{stat_type}_relationmap_{tag}.npy")
+        np.save(path, np.array(ordered, dtype=object), allow_pickle=True)
+        logger.info(f"saved cossim relation maps: {path}")
+        return (path,)
     stats = compute_source_statistics(
         model, variables, batched_eval_iter(ds, cfg.data.batch_size),
-        tap_filter=tap_filter, logger=logger)
-    out = out_dir or cfg.runtime.result_dir
-    paths = save_source_statistics(stats, cfg.model.arch, out)
+        tap_filter=tap_filter, logger=logger, stat_type=stat_type)
+    paths = save_source_statistics(stats, cfg.model.arch, out,
+                                   stat_type=stat_type)
     logger.info(f"saved source stats: {paths}")
     return paths

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--result_dir", default="results")
     p.add_argument("--spatiotemp_mean_clean_file", default="")
     p.add_argument("--spatiotemp_var_clean_file", default="")
+    p.add_argument("--temp_mean_clean_file", default="")
+    p.add_argument("--temp_var_clean_file", default="")
+    p.add_argument("--spatial_mean_clean_file", default="")
+    p.add_argument("--spatial_var_clean_file", default="")
+    p.add_argument("--temp_cossim_clean_file", default="")
     p.add_argument("--stats_npz", default="",
                    help="name-keyed stats archive (alternative to the "
                         "reference .npy pair)")
@@ -55,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", type=str2bool, default=True)
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--n_parallel_streams", type=int, default=1)
+    p.add_argument("--corruptions", nargs="+", default=None,
+                   help="subset of corruption names for the sweep drivers "
+                        "(default: all 12, reference tta_tanet_ucf101.py:9-11)")
     # learning / TTA (opts.py:72-121)
     p.add_argument("--tta", type=str2bool, default=True)
     p.add_argument("--baseline", default="source",
@@ -65,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "t3a.py:52)")
     p.add_argument("--compute_stat", default="",
                    choices=["", "mean_var", "cossim"])
+    p.add_argument("--stat_type", nargs="+", default=["spatiotemp"],
+                   help="statistic type(s); the live regularization takes "
+                        "exactly one (reference norm_stats_utils.py:131)")
     p.add_argument("--use_src_stat_in_reg", type=str2bool, default=True)
     p.add_argument("--fix_BNS", type=str2bool, default=True)
     p.add_argument("--running_manner", type=str2bool, default=True)
@@ -138,8 +149,14 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
         lambda_feature_reg=args.lambda_feature_reg,
         chosen_blocks=tuple(args.chosen_blocks) if args.chosen_blocks
         else base.tta.chosen_blocks,
+        stat_type=tuple(args.stat_type),
         spatiotemp_mean_clean_file=args.spatiotemp_mean_clean_file,
-        spatiotemp_var_clean_file=args.spatiotemp_var_clean_file)
+        spatiotemp_var_clean_file=args.spatiotemp_var_clean_file,
+        temp_mean_clean_file=args.temp_mean_clean_file,
+        temp_var_clean_file=args.temp_var_clean_file,
+        spatial_mean_clean_file=args.spatial_mean_clean_file,
+        spatial_var_clean_file=args.spatial_var_clean_file,
+        temp_cossim_clean_file=args.temp_cossim_clean_file)
     runtime = dataclasses.replace(
         base.runtime, result_dir=args.result_dir, baseline=args.baseline,
         t3a_filter_k=args.t3a_filter_k, verbose=args.verbose,

@@ -131,9 +131,16 @@ class TTAConfig:
     # is chosen when any of these substrings occurs in its path name
     # (reference corpus/basics.py:571-587)
     chosen_blocks: Tuple[str, ...] = ("layer3", "layer4")
-    # precomputed source statistics
+    # precomputed source statistics, one file pair per statistic type
+    # (reference utils/opts.py: spatiotemp/temp/spatial *_clean_file flags;
+    # the temporal pair also serves temp_v2, basics.py:751-752)
     spatiotemp_mean_clean_file: str = ""
     spatiotemp_var_clean_file: str = ""
+    temp_mean_clean_file: str = ""
+    temp_var_clean_file: str = ""
+    spatial_mean_clean_file: str = ""
+    spatial_var_clean_file: str = ""
+    temp_cossim_clean_file: str = ""
 
     def validate(self) -> None:
         # Mode invariants, reference corpus/basics.py:414-423.

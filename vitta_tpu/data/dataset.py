@@ -50,7 +50,7 @@ class TANetVideoDataset:
             records = parse_list_file(d.val_vid_list, filter_short=True,
                                       debug=d.debug, debug_vid=d.debug_vid)
         self.records = records
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.clip_len = d.clip_length
         self.input_size = d.network_input_size
         self.scale_size = d.scale_size
@@ -67,16 +67,23 @@ class TANetVideoDataset:
     def _decode(self, rec: VideoRecord, indices: np.ndarray) -> np.ndarray:
         return self.source.get_batch(rec.path, indices)
 
-    def _tta_item(self, rec: VideoRecord) -> np.ndarray:
+    def _rng_for(self, i: int) -> np.random.Generator:
+        """Per-index RNG: deterministic regardless of prefetch worker
+        count or iteration order (the reference's DataLoader-worker RNG is
+        worker-count dependent; this is strictly stronger)."""
+        return np.random.default_rng(np.random.SeedSequence(
+            entropy=self.seed, spawn_key=(i,)))
+
+    def _tta_item(self, rec: VideoRecord, rng: np.random.Generator) -> np.ndarray:
         idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
-                                        self.view_style, self.n_views, self.rng)
+                                        self.view_style, self.n_views, rng)
         frames = self._decode(rec, idx)          # (V*T or T, H, W, 3)
         if idx.shape[0] == self.clip_len:        # single-clip styles
             frames = np.tile(frames, (self.n_views, 1, 1, 1))
         views = frames.reshape(self.n_views, self.clip_len, *frames.shape[1:])
         if self.spatial_rand:
             views = transforms.subgroupwise_multiscale_crop(
-                views, self.input_size, self.rng)
+                views, self.input_size, rng)
         else:
             views = np.stack([transforms.scale_center_crop(
                 v, self.scale_size, self.input_size) for v in views])
@@ -102,10 +109,22 @@ class TANetVideoDataset:
             return views
         return transforms.normalize_clip(views, self.mean, self.std)
 
+    def _raw_item(self, rec: VideoRecord) -> np.ndarray:
+        """Decoded test-sampled frames with no crop/resize/normalize —
+        DUA's adaptation source (second dataset of the
+        ``get_dataset_tanet_dua`` pair, basics.py:1330-1347: Stack +
+        ToTensor only)."""
+        idx = sampling.sample_test(rec.num_frames, self.clip_len,
+                                   self.sample_style)
+        return self._decode(rec, idx)            # (n_clips*T, H, W, 3) uint8
+
     def __getitem__(self, i: int) -> Sample:
         rec = self.records[i]
         if self.dataset_type == "tta":
-            frames = self._tta_item(rec)
+            frames = self._tta_item(rec, self._rng_for(i))
+        elif self.dataset_type == "raw":
+            return Sample(frames=self._raw_item(rec).astype(np.uint8),
+                          label=rec.label, index=i)
         else:
             frames = self._eval_item(rec)
         dtype = np.uint8 if self.emit_uint8 else np.float32
@@ -139,7 +158,7 @@ class SwinVideoDataset:
             records = parse_list_file(d.val_vid_list, filter_short=False,
                                       debug=d.debug, debug_vid=d.debug_vid)
         self.records = records
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.clip_len = d.clip_length
         self.input_size = d.input_size
         self.scale_size = d.scale_size
@@ -168,15 +187,23 @@ class SwinVideoDataset:
     def __getitem__(self, i: int) -> Sample:
         from vitta_tpu.data import native
         rec = self.records[i]
+        if self.dataset_type == "raw":
+            idx = sampling.sample_seq_frames(rec.num_frames, self.clip_len,
+                                             test_mode=True)
+            frames = self.source.get_batch(rec.path, idx)
+            return Sample(frames=frames.astype(np.uint8), label=rec.label,
+                          index=i)
         if self.dataset_type == "tta":
+            rng = np.random.default_rng(np.random.SeedSequence(
+                entropy=self.seed, spawn_key=(i,)))
             idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
                                             self.view_style, self.n_views,
-                                            self.rng)
+                                            rng)
             frames = self.source.get_batch(rec.path, idx)
             frames = self._resize_short(frames)
             h, w = frames.shape[1:3]
             # one crop box for ALL frames/views (transforms_backup.py:193-349)
-            x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, self.rng)
+            x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, rng)
             frames = native.crop(frames, y, x, ch, cw)
             frames = native.resize_bilinear(frames, self.input_size,
                                             self.input_size, antialias=False)

@@ -24,7 +24,7 @@ to the (N,T)-fold so this matches the reference's
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,57 @@ from vitta_tpu.ops.stats import channel_stats
 # Tap collection name used across the framework.
 TAPS = "taps"
 
+STAT_TYPES = ("spatiotemp", "spatial", "temp", "temp_v2")
+
 
 def _tap_overwrite(old, new):
     return new
+
+
+def tap_leaf_name(stat_type: str, input_side: bool = False) -> str:
+    """Leaf name in the ``taps`` collection for a statistic type.
+
+    ``spatiotemp`` keeps the round-1 names (``stat`` / ``stat_in``); other
+    types get suffixed leaves so several can coexist (the reference's
+    ComputeNormStatsHook is parameterized the same way,
+    norm_stats_utils.py:80-98)."""
+    base = "stat_in" if input_side else "stat"
+    return base if stat_type == "spatiotemp" else f"{base}_{stat_type}"
+
+
+def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
+                     clip_len: int, input_side: bool = False) -> None:
+    """Sow one tap per requested statistic type.
+
+    Mirrors ComputeNormStatsHook.compute_stat_for_NCTHW
+    (norm_stats_utils.py:80-98): 2D features (N*T, H, W, C) are unfolded
+    by ``clip_len`` for the time-resolved types; BN1d-style low-rank
+    features get the 'temp' reduction, which in channels-last layout
+    coincides with the full per-channel reduction (norm_stats_utils.py:32-53).
+    """
+    for st in stat_types:
+        if st not in STAT_TYPES:
+            raise NotImplementedError(f"stat_type={st!r}")
+        leaf = tap_leaf_name(st, input_side)
+        if st == "spatiotemp":
+            mod.sow(TAPS, leaf, channel_stats(x), reduce_fn=_tap_overwrite)
+        elif x.ndim >= 5:                       # (N, T, H, W, C)
+            mod.sow(TAPS, leaf, channel_stats(x, stat_type=st, time_axis=1),
+                    reduce_fn=_tap_overwrite)
+        elif x.ndim == 4:                       # (N*T, H, W, C): unfold time
+            if clip_len <= 0:
+                raise ValueError(
+                    f"stat_type={st!r} on a 2D-feature norm layer needs clip_len "
+                    "(the reference hook receives it at registration, "
+                    "norm_stats_utils.py:22)")
+            xr = x.reshape(x.shape[0] // clip_len, clip_len, *x.shape[1:])
+            mod.sow(TAPS, leaf, channel_stats(xr, stat_type=st, time_axis=1),
+                    reduce_fn=_tap_overwrite)
+        elif st in ("temp", "temp_v2"):         # BN1d features, rank 2/3
+            mod.sow(TAPS, leaf, channel_stats(x), reduce_fn=_tap_overwrite)
+        # 'spatial' on BN1d features: undefined — the reference emits None
+        # placeholders at BatchNorm1d positions (basics.py:873-880); the
+        # omitted tap is the placeholder here.
 
 
 class BatchNorm(nn.Module):
@@ -52,6 +100,8 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1
     tap: bool = True
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
+    clip_len: int = 0        # needed to unfold (N*T, ...) for time-resolved types
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -70,7 +120,8 @@ class BatchNorm(nn.Module):
             # regularization (BNFeatureHook compares the BN *input* batch
             # stats against the layer's running stats, BNS_utils.py:19-77);
             # dead-code-eliminated when unused.
-            self.sow(TAPS, "stat_in", channel_stats(xf), reduce_fn=_tap_overwrite)
+            _sow_typed_stats(self, xf, self.stat_types, self.clip_len,
+                             input_side=True)
         reduce_axes = tuple(range(x.ndim - 1))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -90,7 +141,8 @@ class BatchNorm(nn.Module):
         if self.tap:
             # channel stats of the normalized output (before_norm=False
             # default path, norm_stats_utils.py:154).
-            self.sow(TAPS, "stat", channel_stats(y), reduce_fn=_tap_overwrite)
+            _sow_typed_stats(self, y.astype(jnp.float32), self.stat_types,
+                             self.clip_len)
         return y
 
 
@@ -107,6 +159,7 @@ class LayerNorm(nn.Module):
     features: int
     eps: float = 1e-5
     tap: bool = True
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
     def __call__(self, x):
@@ -114,13 +167,13 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         xf = x.astype(jnp.float32)
         if self.tap:
-            self.sow(TAPS, "stat_in", channel_stats(xf), reduce_fn=_tap_overwrite)
+            _sow_typed_stats(self, xf, self.stat_types, 0, input_side=True)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         y = y.astype(x.dtype)
         if self.tap:
-            self.sow(TAPS, "stat", channel_stats(y), reduce_fn=_tap_overwrite)
+            _sow_typed_stats(self, y.astype(jnp.float32), self.stat_types, 0)
         return y
 
 

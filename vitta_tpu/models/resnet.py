@@ -35,6 +35,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     use_tam: bool = True
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,30 +43,31 @@ class Bottleneck(nn.Module):
                  update_running_stats: bool = False):
         bn_kw = dict(use_running_average=use_running_average,
                      update_running_stats=update_running_stats)
+        mk_kw = dict(stat_types=self.stat_types, clip_len=clip_len)
         out_planes = self.planes * 4
         identity = x
 
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(self.planes, name="bn1")(out, **bn_kw)
+        out = BatchNorm(self.planes, name="bn1", **mk_kw)(out, **bn_kw)
         out = nn.relu(out)
         if self.use_tam:
-            out = TAM(self.planes, dtype=self.dtype, name="tam")(out, clip_len, **bn_kw)
+            out = TAM(self.planes, dtype=self.dtype, stat_types=self.stat_types, name="tam")(out, clip_len, **bn_kw)
 
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=[(1, 1), (1, 1)], use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(self.planes, name="bn2")(out, **bn_kw)
+        out = BatchNorm(self.planes, name="bn2", **mk_kw)(out, **bn_kw)
         out = nn.relu(out)
 
         out = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(out_planes, name="bn3")(out, **bn_kw)
+        out = BatchNorm(out_planes, name="bn3", **mk_kw)(out, **bn_kw)
 
         if self.downsample:
             identity = nn.Conv(out_planes, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            identity = BatchNorm(out_planes, name="downsample_bn")(identity, **bn_kw)
+            identity = BatchNorm(out_planes, name="downsample_bn", **mk_kw)(identity, **bn_kw)
         return nn.relu(out + identity)
 
 
@@ -82,6 +84,7 @@ class ResNetTAM(nn.Module):
     """ResNet-50 (+TAM) feature extractor: (N*T, H, W, 3) -> (N*T, 2048)."""
 
     use_tam: bool = True
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,7 +95,8 @@ class ResNetTAM(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(64, name="bn1")(x, **bn_kw)
+        x = BatchNorm(64, name="bn1", stat_types=self.stat_types,
+                      clip_len=clip_len)(x, **bn_kw)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
 
@@ -103,6 +107,7 @@ class ResNetTAM(nn.Module):
                     stride=stride if bi == 0 else 1,
                     downsample=(bi == 0),
                     use_tam=self.use_tam,
+                    stat_types=self.stat_types,
                     dtype=self.dtype,
                     name=f"layer{li}_{bi}",
                 )(x, clip_len, **bn_kw)

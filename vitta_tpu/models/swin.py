@@ -188,6 +188,7 @@ class SwinBlock3D(nn.Module):
     shift_size: Tuple[int, int, int] = (0, 0, 0)
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -195,7 +196,7 @@ class SwinBlock3D(nn.Module):
         window, shift = get_window_size((d, h, w), tuple(self.window_size),
                                         tuple(self.shift_size))
         shortcut = x
-        x = LayerNorm(c, name="norm1")(x)
+        x = LayerNorm(c, stat_types=self.stat_types, name="norm1")(x)
 
         wd, wh, ww = window
         pad_d = (-d) % wd
@@ -222,7 +223,7 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
-        y = LayerNorm(c, name="norm2")(x)
+        y = LayerNorm(c, stat_types=self.stat_types, name="norm2")(x)
         y = Mlp(int(c * self.mlp_ratio), c, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
@@ -231,6 +232,7 @@ class PatchMerging(nn.Module):
     """2x2 spatial merge (swin_transformer.py:277-312)."""
 
     dim: int
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
     def __call__(self, x):
@@ -241,7 +243,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, :, 0::2, 1::2]
         x3 = x[:, :, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = LayerNorm(4 * c, name="norm")(x)
+        x = LayerNorm(4 * c, stat_types=self.stat_types, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, name="reduction")(x)
 
 
@@ -254,6 +256,7 @@ class BasicLayer(nn.Module):
     window_size: Tuple[int, int, int]
     drop_paths: Tuple[float, ...]
     downsample: bool
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -265,10 +268,12 @@ class BasicLayer(nn.Module):
                 window_size=self.window_size,
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
                 drop_path=self.drop_paths[i],
+                stat_types=self.stat_types,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
         if self.downsample:
-            x = PatchMerging(self.dim, name="downsample")(x)
+            x = PatchMerging(self.dim, stat_types=self.stat_types,
+                             name="downsample")(x)
         return x
 
 
@@ -281,6 +286,7 @@ class SwinTransformer3D(nn.Module):
     num_heads: Tuple[int, ...] = (4, 8, 16, 32)
     window_size: Tuple[int, int, int] = (8, 7, 7)
     drop_path_rate: float = 0.2
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -306,11 +312,13 @@ class SwinTransformer3D(nn.Module):
                 window_size=self.window_size,
                 drop_paths=tuple(dpr[i0:i0 + depth]),
                 downsample=(li < n_layers - 1),
+                stat_types=self.stat_types,
                 name=f"layers_{li}",
             )(x, deterministic=deterministic)
             i0 += depth
         num_features = self.embed_dim * (2 ** (n_layers - 1))
-        return LayerNorm(num_features, name="norm")(x)
+        return LayerNorm(num_features, stat_types=self.stat_types,
+                         name="norm")(x)
 
 
 class I3DHead(nn.Module):
@@ -338,13 +346,16 @@ class Recognizer3D(nn.Module):
     depths: Tuple[int, ...] = (2, 2, 18, 2)
     num_heads: Tuple[int, ...] = (4, 8, 16, 32)
     drop_path_rate: float = 0.2
+    head_dropout: float = 0.5          # I3DHead dropout (i3d_head.py:30)
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     def setup(self):
         self.backbone = SwinTransformer3D(
             patch_size=self.patch_size, embed_dim=self.embed_dim,
             depths=self.depths, num_heads=self.num_heads,
-            window_size=self.window_size, drop_path_rate=self.drop_path_rate)
-        self.cls_head = I3DHead(self.num_classes)
+            window_size=self.window_size, drop_path_rate=self.drop_path_rate,
+            stat_types=tuple(self.stat_types))
+        self.cls_head = I3DHead(self.num_classes, dropout=self.head_dropout)
 
     def __call__(self, x, *, train: bool = False,
                  use_running_average: bool = True,

@@ -24,6 +24,8 @@ mixing happens on the small pooled ``(N, T, C)`` tensor.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,6 +36,7 @@ class TAM(nn.Module):
     in_channels: int
     kernel_size: int = 3
     padding: int = 1
+    stat_types: Tuple[str, ...] = ("spatiotemp",)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,7 +56,7 @@ class TAM(nn.Module):
         # folded as the leading batch of a Dense over the T axis.
         g_in = jnp.transpose(pooled, (0, 2, 1)).reshape(n * c, t)      # (N*C, T)
         g = nn.Dense(2 * t, use_bias=False, dtype=jnp.float32, name="g_fc1")(g_in)
-        g = BatchNorm(2 * t, name="g_bn")(g, **bn_kw)
+        g = BatchNorm(2 * t, stat_types=self.stat_types, name="g_bn")(g, **bn_kw)
         g = nn.relu(g)
         g = nn.Dense(self.kernel_size, use_bias=False, name="g_fc2")(g)
         kernel = nn.softmax(g, axis=-1).reshape(n, c, self.kernel_size)  # (N, C, K)
@@ -63,7 +66,8 @@ class TAM(nn.Module):
         l = nn.Conv(self.in_channels // 4, kernel_size=(self.kernel_size,),
                     padding=[(self.kernel_size // 2,) * 2], use_bias=False,
                     name="l_conv1")(pooled)                             # (N, T, C/4)
-        l = BatchNorm(self.in_channels // 4, name="l_bn")(l, **bn_kw)
+        l = BatchNorm(self.in_channels // 4, stat_types=self.stat_types,
+                      name="l_bn")(l, **bn_kw)
         l = nn.relu(l)
         l = nn.Conv(self.in_channels, kernel_size=(1,), use_bias=False,
                     name="l_conv2")(l)                                  # (N, T, C)

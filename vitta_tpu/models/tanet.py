@@ -29,11 +29,13 @@ class TANet(nn.Module):
     clip_length: int = 16
     dropout: float = 0.8
     use_tam: bool = True
+    stat_types: tuple = ("spatiotemp",)
     dtype: str = "float32"   # compute dtype; "bfloat16" for speed runs
 
     def setup(self):
         import jax.numpy as _jnp
         self.base_model = ResNetTAM(use_tam=self.use_tam,
+                                    stat_types=tuple(self.stat_types),
                                     dtype=_jnp.dtype(self.dtype))
         self.new_fc = nn.Dense(self.num_classes)
         self.drop = nn.Dropout(self.dropout)

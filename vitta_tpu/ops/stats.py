@@ -55,6 +55,8 @@ def channel_stats(x: jax.Array, channel_axis: int = -1,
     because views/time are folded into the reduction either way.
 
     ``spatial`` keeps (C, T): requires ``time_axis``.
+    ``temp`` keeps (C, H, W): reduces over batch and ``time_axis`` only
+    (reference norm_stats_utils.py:84-89).
     ``temp_v2`` first averages spatial dims then reduces over (N, T).
     """
     x = x.astype(jnp.float32)
@@ -76,6 +78,18 @@ def channel_stats(x: jax.Array, channel_axis: int = -1,
         # normalize to (C, T) ordering like the reference (C, T)
         if caxis > taxis:
             mean, var = mean.T, var.T
+        return TapStats(mean, var)
+    elif stat_type == "temp":
+        if time_axis is None:
+            raise ValueError("stat_type='temp' needs time_axis")
+        taxis = time_axis % ndim
+        axes = (0, taxis) if taxis != 0 else (0,)
+        mean = jnp.mean(x, axis=axes)        # (H, W, C) for NTHWC input
+        mean_sq = jnp.mean(jnp.square(x), axis=axes)
+        var = mean_sq - jnp.square(mean)
+        # reference layout is (C, H, W) (norm_stats_utils.py:86-89)
+        mean = jnp.moveaxis(mean, -1, 0)
+        var = jnp.moveaxis(var, -1, 0)
         return TapStats(mean, var)
     elif stat_type == "temp_v2":
         if time_axis is None:

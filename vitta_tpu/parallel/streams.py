@@ -71,8 +71,7 @@ class StreamParallelEngine:
         labels: (S, B); rngs: (S,) PRNG keys.
         """
         if self.engine.cfg.tta.if_tta_standard == "tta_standard":
-            fresh = self.init_state()
-            state = TTAState(fresh.params, fresh.opt_state, fresh.ema, state.step)
+            state = self.init_state()._replace(step=state.step)
         return self._step(state, views, eval_clips, labels, rngs)
 
 

@@ -304,14 +304,17 @@ def inflate_swin2d_checkpoint(sd, num_classes: Optional[int] = None,
 
 
 def load_reference_stats(mean_file: str, var_file: str, arch: str,
-                         use_tam: bool = True) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+                         use_tam: bool = True,
+                         include_bn1d: bool = False) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Load the reference's object-array ``.npy`` stat pair into
     ``{tap_name: (mean, var)}``.
 
-    For TANet the files contain one (C,) entry per BatchNorm2d in
-    ``choose_layers`` order; BatchNorm1d positions get no entry
-    (basics.py:488-498 splices in ``None`` placeholders — here bn1d taps
-    are simply omitted from the dict)."""
+    For TANet+spatiotemp/spatial the files contain one entry per
+    BatchNorm2d in ``choose_layers`` order; BatchNorm1d positions get no
+    entry (basics.py:488-498 splices in ``None`` placeholders — here bn1d
+    taps are simply omitted from the dict).  For the temporal stat types
+    the reference's candidate layers include BatchNorm1d too
+    (basics.py:231-238) — pass ``include_bn1d=True``."""
     means = list(np.load(mean_file, allow_pickle=True))
     variances = list(np.load(var_file, allow_pickle=True))
     if arch == "tanet":
@@ -319,7 +322,7 @@ def load_reference_stats(mean_file: str, var_file: str, arch: str,
         out = {}
         counter = 0
         for name, kind in layers:
-            if kind == "bn2d":
+            if kind == "bn2d" or include_bn1d:
                 out[name] = (np.asarray(means[counter], np.float32),
                              np.asarray(variances[counter], np.float32))
                 counter += 1
@@ -334,16 +337,27 @@ def load_reference_stats(mean_file: str, var_file: str, arch: str,
 
 
 def save_stats(path_mean: str, path_var: str, stats: Dict[str, Tuple[np.ndarray, np.ndarray]],
-               arch: str, use_tam: bool = True) -> None:
+               arch: str, use_tam: bool = True,
+               include_bn1d: bool = False) -> None:
     """Write stats in the reference's object-array layout
-    (basics.py:306-307) so files interoperate both ways."""
+    (basics.py:306-307) so files interoperate both ways.  With
+    ``include_bn1d`` the TANet ordering includes the TAM BatchNorm1d
+    layers (the temporal stat types' candidate set, basics.py:231-238)."""
     layers = (tanet_norm_layers(use_tam) if arch == "tanet" else swin_norm_layers())
     means, variances = [], []
     for name, kind in layers:
-        if arch == "tanet" and kind != "bn2d":
+        if arch == "tanet" and kind != "bn2d" and not include_bn1d:
             continue
         m, v = stats[name]
         means.append(np.asarray(m))
         variances.append(np.asarray(v))
-    np.save(path_mean, np.array(means, dtype=object), allow_pickle=True)
-    np.save(path_var, np.array(variances, dtype=object), allow_pickle=True)
+    def _obj_array(items):
+        # np.array(list, dtype=object) mis-broadcasts when entries share a
+        # leading dimension; build the ragged array explicitly
+        arr = np.empty(len(items), dtype=object)
+        for i, it in enumerate(items):
+            arr[i] = it
+        return arr
+
+    np.save(path_mean, _obj_array(means), allow_pickle=True)
+    np.save(path_var, _obj_array(variances), allow_pickle=True)
