@@ -1,0 +1,320 @@
+// vitta_decode — native random-access video decoding (FFmpeg/libav).
+//
+// The reference delegates decode to decord (C++/FFmpeg,
+// models/tanet_models/video_dataset.py:10,320-341: `VideoReader(path)`,
+// `len(vr)`, `vr.get_batch(indices)`), listed in requirements.txt:12.
+// This is the first-party equivalent: a small libav wrapper with the
+// same three operations, exposed over a plain C ABI for ctypes (no
+// pybind11 in the image).
+//
+// Random access works the way decord's does: on open, the container is
+// demuxed once (no decode) to build a display-order pts index, giving
+// an exact frame count even when container metadata lies; `get_batch`
+// then walks the requested indices in sorted order, decoding forward
+// from the current position, and only seeks (to the preceding keyframe,
+// then drains) when the target lies behind the cursor or far ahead.
+// Frames are converted to packed RGB24 with swscale (bilinear), the
+// same conversion decord performs.
+//
+// A tiny mpeg4/AVI encoder is included so the round-trip test is
+// hermetic (no fixture binaries in the repo).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  int stream_index = -1;
+  int width = 0;
+  int height = 0;
+  std::vector<int64_t> pts;  // display-order timestamps, one per frame
+  int64_t cursor_pts = INT64_MIN;  // pts of the last frame emitted
+  bool eof_sent = false;
+};
+
+void close_decoder(Decoder* d) {
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->frame) av_frame_free(&d->frame);
+  delete d;
+}
+
+// Demux the whole stream once to collect frame timestamps in display
+// order.  Cheap (no decode) and exact — container nb_frames is often 0
+// or wrong for AVI/MP4 written by other tools.
+bool build_index(Decoder* d) {
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      int64_t t = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      d->pts.push_back(t);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  std::sort(d->pts.begin(), d->pts.end());
+  if (d->pts.empty()) return false;
+  // rewind for decoding
+  av_seek_frame(d->fmt, d->stream_index, d->pts.front(),
+                AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->codec);
+  d->cursor_pts = INT64_MIN;
+  d->eof_sent = false;
+  return true;
+}
+
+// Decode the next frame in display order into d->frame. Returns false
+// at end of stream or error.
+bool next_frame(Decoder* d) {
+  for (;;) {
+    int ret = avcodec_receive_frame(d->codec, d->frame);
+    if (ret == 0) return true;
+    if (ret == AVERROR_EOF) return false;
+    if (ret != AVERROR(EAGAIN)) return false;
+    if (d->eof_sent) return false;
+    // feed more packets
+    for (;;) {
+      ret = av_read_frame(d->fmt, d->pkt);
+      if (ret < 0) {
+        avcodec_send_packet(d->codec, nullptr);  // flush
+        d->eof_sent = true;
+        break;
+      }
+      if (d->pkt->stream_index != d->stream_index) {
+        av_packet_unref(d->pkt);
+        continue;
+      }
+      ret = avcodec_send_packet(d->codec, d->pkt);
+      av_packet_unref(d->pkt);
+      if (ret == 0) break;
+      if (ret != AVERROR(EAGAIN)) return false;
+    }
+  }
+}
+
+int64_t frame_pts(const AVFrame* f) {
+  return f->best_effort_timestamp != AV_NOPTS_VALUE ? f->best_effort_timestamp
+                                                    : f->pts;
+}
+
+// Position the decoder so the next emitted frame has pts target.
+// Returns true and leaves the decoded frame in d->frame.
+bool decode_to(Decoder* d, int64_t target) {
+  // Re-emit: caller asked for the frame we already hold.
+  if (d->cursor_pts == target && frame_pts(d->frame) == target) return true;
+  bool behind = d->cursor_pts >= target || d->cursor_pts == INT64_MIN;
+  if (behind && d->cursor_pts != INT64_MIN) {
+    av_seek_frame(d->fmt, d->stream_index, target, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(d->codec);
+    d->eof_sent = false;
+  }
+  while (next_frame(d)) {
+    int64_t t = frame_pts(d->frame);
+    d->cursor_pts = t;
+    if (t >= target) return true;  // >= : tolerate timestamp jitter
+  }
+  // Stream ended before target (e.g. seek landed past it): restart from
+  // the beginning and scan — always correct, rarely taken.
+  av_seek_frame(d->fmt, d->stream_index, d->pts.front(),
+                AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_ANY);
+  avcodec_flush_buffers(d->codec);
+  d->eof_sent = false;
+  while (next_frame(d)) {
+    d->cursor_pts = frame_pts(d->frame);
+    if (d->cursor_pts >= target) return true;
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path) {
+  av_log_set_level(AV_LOG_ERROR);
+  Decoder* d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    close_decoder(d);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    close_decoder(d);
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_index < 0 || !dec) {
+    close_decoder(d);
+    return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_index];
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec ||
+      avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
+      avcodec_open2(d->codec, dec, nullptr) < 0) {
+    close_decoder(d);
+    return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  if (!build_index(d)) {
+    close_decoder(d);
+    return nullptr;
+  }
+  return d;
+}
+
+int vd_num_frames(void* handle) {
+  return static_cast<int>(static_cast<Decoder*>(handle)->pts.size());
+}
+
+int vd_width(void* handle) { return static_cast<Decoder*>(handle)->width; }
+int vd_height(void* handle) { return static_cast<Decoder*>(handle)->height; }
+
+// Decode frames at the given display-order indices into out
+// (n, H, W, 3) uint8 RGB. Indices may repeat and arrive unsorted (the
+// samplers emit sorted-with-duplicates index lists). Returns 0 on
+// success, negative on error.
+int vd_get_batch(void* handle, const int64_t* indices, int n, uint8_t* out) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  const int nf = static_cast<int>(d->pts.size());
+  const size_t frame_bytes = static_cast<size_t>(d->height) * d->width * 3;
+
+  // visit in sorted order so forward decode dominates
+  std::vector<int> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return indices[a] < indices[b];
+  });
+
+  if (!d->sws) {
+    d->sws = sws_getContext(d->width, d->height, d->codec->pix_fmt, d->width,
+                            d->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+    if (!d->sws) return -2;
+  }
+
+  int64_t prev_idx = -1;
+  for (int k = 0; k < n; ++k) {
+    const int slot = order[k];
+    int64_t idx = indices[slot];
+    if (idx < 0) idx = 0;
+    if (idx >= nf) idx = nf - 1;  // decord-style clamp (video_dataset.py:328)
+    uint8_t* dst = out + static_cast<size_t>(slot) * frame_bytes;
+    if (idx == prev_idx) {  // duplicate: re-convert the held frame
+      std::memcpy(dst, out + static_cast<size_t>(order[k - 1]) * frame_bytes,
+                  frame_bytes);
+      continue;
+    }
+    if (!decode_to(d, d->pts[idx])) return -3;
+    uint8_t* planes[1] = {dst};
+    int strides[1] = {d->width * 3};
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->height,
+              planes, strides);
+    prev_idx = idx;
+  }
+  return 0;
+}
+
+void vd_close(void* handle) { close_decoder(static_cast<Decoder*>(handle)); }
+
+// --- test-support encoder -------------------------------------------------
+// Writes (n, h, w, 3) uint8 RGB frames as an mpeg4 AVI (encoder built
+// into libavcodec — no external x264 needed). gop_size > 1 so the
+// round-trip test exercises the keyframe seek path.
+int vd_write_test_video(const char* path, const uint8_t* frames, int n,
+                        int h, int w, int fps, int gop) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0 || !fmt)
+    return -1;
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) return -2;
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->width = w;
+  c->height = h;
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->time_base = {1, fps};
+  c->gop_size = gop > 0 ? gop : 12;
+  c->bit_rate = static_cast<int64_t>(w) * h * fps;  // generous: keep it clean
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  int rc = -3;
+  SwsContext* sws = nullptr;
+  AVFrame* yuv = nullptr;
+  AVPacket* pkt = nullptr;
+  if (avcodec_open2(c, enc, nullptr) < 0) goto done;
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    goto done;
+  if (avformat_write_header(fmt, nullptr) < 0) goto done;
+
+  sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                       SWS_BILINEAR, nullptr, nullptr, nullptr);
+  yuv = av_frame_alloc();
+  yuv->format = AV_PIX_FMT_YUV420P;
+  yuv->width = w;
+  yuv->height = h;
+  av_frame_get_buffer(yuv, 0);
+  pkt = av_packet_alloc();
+
+  for (int i = 0; i <= n; ++i) {
+    AVFrame* send = nullptr;
+    if (i < n) {
+      const uint8_t* src[1] = {frames + static_cast<size_t>(i) * h * w * 3};
+      int stride[1] = {w * 3};
+      av_frame_make_writable(yuv);
+      sws_scale(sws, src, stride, 0, h, yuv->data, yuv->linesize);
+      yuv->pts = i;
+      send = yuv;
+    }
+    if (avcodec_send_frame(c, send) < 0) goto done;  // nullptr flushes
+    for (;;) {
+      int r = avcodec_receive_packet(c, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) goto done;
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) goto done;
+    }
+  }
+  if (av_write_trailer(fmt) < 0) goto done;
+  rc = 0;
+done:
+  if (sws) sws_freeContext(sws);
+  if (yuv) av_frame_free(&yuv);
+  if (pkt) av_packet_free(&pkt);
+  if (c) avcodec_free_context(&c);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,102 @@
+"""Native FFmpeg decoder (csrc/vitta_decode.cpp) round-trip tests.
+
+The reference decodes with decord (requirements.txt:12;
+models/tanet_models/video_dataset.py:320-341).  vitta_decode is the
+first-party replacement; these tests are hermetic — the library's own
+mpeg4/AVI encoder writes the fixture, so no binary assets are needed.
+Gated on the library building (libav dev headers + g++)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vitta_tpu.data import native_decode
+
+if not native_decode.available():
+    pytest.skip("libav toolchain unavailable", allow_module_level=True)
+
+
+def _frames(n=25, h=64, w=80):
+    """Each frame is a distinct flat color ramp: frame i has mean
+    intensity ~ 10*i + 20, so decoded frames identify their index even
+    through lossy mpeg4 (tolerance ±4)."""
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        out[i] = np.uint8(min(20 + 9 * i, 235))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_avi(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "ramp.avi")
+    native_decode.write_test_video(path, _frames(), fps=10, gop=7)
+    return path
+
+
+def test_frame_count_and_dims(tiny_avi):
+    vr = native_decode.NativeVideoReader(tiny_avi)
+    assert len(vr) == 25
+    assert (vr.height, vr.width) == (64, 80)
+    vr.close()
+
+
+def test_random_access_matches_frame_identity(tiny_avi):
+    """Out-of-order + repeated + backward indices land on the right
+    frames (exercises the keyframe-seek path: gop=7 < span of jumps)."""
+    vr = native_decode.NativeVideoReader(tiny_avi)
+    idx = np.array([24, 0, 13, 13, 5, 20, 1])
+    got = vr.get_batch(idx)
+    assert got.shape == (7, 64, 80, 3)
+    ref = _frames()
+    for k, i in enumerate(idx):
+        expect = float(ref[i].mean())
+        assert abs(float(got[k].astype(np.float32).mean()) - expect) < 4.0, \
+            f"index {i}: mean {got[k].mean():.1f} vs {expect:.1f}"
+    vr.close()
+
+
+def test_sequential_then_forward_decode(tiny_avi):
+    vr = native_decode.NativeVideoReader(tiny_avi)
+    a = vr.get_batch(np.arange(10))
+    b = vr.get_batch(np.arange(10, 20))  # continues forward, no seek
+    ref = _frames()
+    for i in range(10):
+        assert abs(float(a[i].mean()) - float(ref[i].mean())) < 4.0
+        assert abs(float(b[i].mean()) - float(ref[10 + i].mean())) < 4.0
+    vr.close()
+
+
+def test_video_source_interface(tiny_avi):
+    from vitta_tpu.data.video_reader import FFmpegVideoSource, make_video_source
+
+    d, name = os.path.split(tiny_avi)
+    src = make_video_source("video", d, "")
+    assert isinstance(src, FFmpegVideoSource)
+    n = src.num_frames(name)
+    assert n == 25
+    # overshoot clamps like the decord path (video_dataset.py:328)
+    frames = src.get_batch(name, np.array([0, n - 1, n + 5]))
+    assert frames.shape == (3, 64, 80, 3)
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+
+def test_dataset_end_to_end_with_native_decode(tiny_avi, tmp_path):
+    """The full TANet TTA dataset path on a real container: sample views,
+    decode natively, crop/normalize — shapes and determinism."""
+    from vitta_tpu.config import tanet_ucf101_preset
+    from vitta_tpu.data.dataset import TANetVideoDataset
+    from vitta_tpu.data.records import VideoRecord
+    from vitta_tpu.data.video_reader import FFmpegVideoSource
+
+    d, name = os.path.split(tiny_avi)
+    cfg = tanet_ucf101_preset()
+    rec = [VideoRecord(name, 25, 3)]
+    ds = TANetVideoDataset(cfg, FFmpegVideoSource(d), rec, dataset_type="tta")
+    s = ds[0]
+    t = cfg.data.clip_length
+    v = cfg.tta.n_augmented_views
+    assert s.frames.shape == (v, t, cfg.data.input_size, cfg.data.input_size, 3)
+    assert s.label == 3
+    s2 = ds[0]
+    np.testing.assert_array_equal(s.frames, s2.frames)  # per-index RNG

@@ -30,8 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_data_dir", default="")
     p.add_argument("--vid_format", default="")
     p.add_argument("--val_vid_list", default="")
-    p.add_argument("--video_source", default="decord",
-                   choices=["decord", "npy", "synthetic"])
+    # 'video' = container decode, preferring the first-party native
+    # FFmpeg decoder (csrc/vitta_decode.cpp) and falling back to decord —
+    # the reference's datatype 'video' default (utils/opts.py:23)
+    p.add_argument("--video_source", default="video",
+                   choices=["video", "ffmpeg", "decord", "npy", "frames",
+                            "synthetic"])
     p.add_argument("--result_dir", default="results")
     p.add_argument("--spatiotemp_mean_clean_file", default="")
     p.add_argument("--spatiotemp_var_clean_file", default="")

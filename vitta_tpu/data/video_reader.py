@@ -4,6 +4,8 @@ The reference decodes videos with decord (C++/FFmpeg random-access
 decode, models/tanet_models/video_dataset.py:320-341).  Here decode is
 an interface with several backends:
 
+* :class:`FFmpegVideoSource` — the first-party native decoder
+  (csrc/vitta_decode.cpp, libav-backed; preferred for kind='video');
 * :class:`DecordVideoSource` — when decord is installed;
 * :class:`NpyVideoSource` — videos stored as ``(N, H, W, 3)`` uint8
   ``.npy`` files (the fixture format, also a fast ingest format for
@@ -57,6 +59,43 @@ class DecordVideoSource(VideoSource):
         vr = self._reader(path)
         idx = np.minimum(indices, len(vr) - 1)
         return vr.get_batch(idx).asnumpy()
+
+
+class FFmpegVideoSource(VideoSource):
+    """First-party native decode (csrc/vitta_decode.cpp via libav) —
+    same contract as decord's VideoReader/get_batch
+    (models/tanet_models/video_dataset.py:320-341), no third-party
+    decoder dependency.  Keeps one open container cached, matching the
+    sequential per-video access pattern of the stream loops."""
+
+    def __init__(self, data_dir: str, vid_format: str = ""):
+        from vitta_tpu.data import native_decode
+        if not native_decode.available():
+            raise RuntimeError(
+                "native decoder unavailable (libav headers / g++ missing)")
+        self._nd = native_decode
+        self.data_dir = data_dir
+        self.vid_format = vid_format
+        self._cache_path: Optional[str] = None
+        self._cache_reader = None
+
+    def _reader(self, path: str):
+        full = os.path.join(self.data_dir, f"{path}{self.vid_format}")
+        if self._cache_path != full:
+            if self._cache_reader is not None:
+                self._cache_reader.close()
+            self._cache_reader = self._nd.NativeVideoReader(full)
+            self._cache_path = full
+        return self._cache_reader
+
+    def num_frames(self, path: str) -> int:
+        return len(self._reader(path))
+
+    def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        vr = self._reader(path)
+        # index clamp as decord path does (video_dataset.py:328)
+        idx = np.minimum(np.asarray(indices), len(vr) - 1)
+        return vr.get_batch(idx)
 
 
 class NpyVideoSource(VideoSource):
@@ -146,6 +185,16 @@ class FrameDirVideoSource(VideoSource):
 
 def make_video_source(kind: str, data_dir: str = "", vid_format: str = "",
                       **kw) -> VideoSource:
+    if kind == "video":
+        # the reference's 'video' datatype (opts.py:23): container files
+        # decoded on demand — prefer the first-party native decoder,
+        # fall back to decord when only that is installed
+        from vitta_tpu.data import native_decode
+        if native_decode.available():
+            return FFmpegVideoSource(data_dir, vid_format)
+        return DecordVideoSource(data_dir, vid_format)
+    if kind == "ffmpeg":
+        return FFmpegVideoSource(data_dir, vid_format)
     if kind == "decord":
         return DecordVideoSource(data_dir, vid_format)
     if kind == "npy":
