@@ -81,7 +81,8 @@ def _build_swin(T, HW, K, V):
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, clip_length=T))
     # full Swin-B (embed 128, depths 2,2,18,2) at the reference operating
     # point (tta_swin_ucf101.py:27-40)
-    model = Recognizer3D(num_classes=K, drop_path_rate=0.0)
+    model = Recognizer3D(num_classes=K, drop_path_rate=0.0,
+                         dtype=BENCH_DTYPE)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((V, T, HW, HW, 3),
                    jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32)

@@ -5,6 +5,7 @@ reset behavior, and mode invariants."""
 import dataclasses
 import numpy as np
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import pytest
 
@@ -93,7 +94,8 @@ def test_online_adaptation_updates(setup):
     assert bool(mask["base_model"]["layer3_0"]["tam"]["g_bn"]["scale"])
     assert not bool(mask["base_model"]["layer3_0"]["bn1"]["scale"])
     grads, _ = jax.grad(eng._losses, has_aux=True)(
-        variables["params"], state.ema, views, jax.random.PRNGKey(9))
+        variables["params"], state.ema, state.batch_stats, views,
+        jax.random.PRNGKey(9))
     g = grads["base_model"]["layer3_0"]["tam"]["g_bn"]["scale"]
     assert float(jnp.sum(jnp.abs(g))) > 0.0
 
@@ -107,10 +109,12 @@ def test_default_no_partial_bn_updates_bn_affine(setup):
     state = eng.init_state()
     views, _clip, _label = _data(7)
     grads, _aux = jax.grad(eng._losses, has_aux=True)(
-        state.params, state.ema, views, jax.random.PRNGKey(11))
-    updates, _ = eng.tx.update(grads, state.opt_state, state.params)
-    u = updates["base_model"]["layer3_0"]["bn1"]["scale"]
-    assert float(jnp.sum(jnp.abs(u))) > 0.0
+        state.params, state.ema, state.batch_stats, views,
+        jax.random.PRNGKey(11))
+    params2, _ = eng._sgd_step(state.params, state.opt_state, grads)
+    u = (np.asarray(params2["base_model"]["layer3_0"]["bn1"]["scale"])
+         - np.asarray(state.params["base_model"]["layer3_0"]["bn1"]["scale"]))
+    assert float(np.sum(np.abs(u))) > 0.0
 
 
 def test_ema_carries_across_steps(setup):
@@ -123,14 +127,16 @@ def test_ema_carries_across_steps(setup):
     views, clip, label = _data(1)
     rngk = jax.random.PRNGKey(3)
     # manual: taps of the adapt forward with the same rng/params
-    _, taps = eng._forward_with_taps(state.params, views, jax.random.fold_in(rngk, 0))
+    _, taps, _bs = eng._forward_with_taps(
+        state.params, state.batch_stats, views, jax.random.fold_in(rngk, 0))
     want1 = m * np.asarray(taps[name].mean)  # ema0 = 0
     state1, _ = eng.adapt_eval_step(state, views, clip, label, rngk)
     np.testing.assert_allclose(np.asarray(state1.ema[name].mean), want1, rtol=1e-4, atol=1e-7)
 
     views2, clip2, label2 = _data(2)
     rngk2 = jax.random.PRNGKey(4)
-    _, taps2 = eng._forward_with_taps(state1.params, views2, jax.random.fold_in(rngk2, 0))
+    _, taps2, _bs2 = eng._forward_with_taps(
+        state1.params, state1.batch_stats, views2, jax.random.fold_in(rngk2, 0))
     want2 = m * np.asarray(taps2[name].mean) + (1 - m) * want1
     state2, _ = eng.adapt_eval_step(state1, views2, clip2, label2, rngk2)
     np.testing.assert_allclose(np.asarray(state2.ema[name].mean), want2, rtol=1e-4, atol=1e-7)

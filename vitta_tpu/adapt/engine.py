@@ -38,7 +38,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from vitta_tpu.config import VittaConfig
 from vitta_tpu.ops.losses import (compute_regularization, cross_entropy,
@@ -170,10 +169,22 @@ class VittaEngine:
         self.tap_names = tap_names
         self.source = {k: src[k] for k in tap_names}
 
-        from vitta_tpu.adapt.optim import build_optimizer
-        self.tx = build_optimizer(cfg.optim, self.init_params,
-                                  arch=cfg.model.arch,
-                                  partial_bn=cfg.model.partial_bn)
+        # SGD (the live default) is a hand-fused per-leaf update — the
+        # optax chain costs thousands of tiny device ops per step (see
+        # optim.fused_sgd_step); the Adam-on-affine option keeps the
+        # optax pipeline (non-default, far fewer trainable leaves).
+        from vitta_tpu.adapt.optim import (build_optimizer, fused_sgd_mask,
+                                           fused_sgd_step)
+        self._fused_sgd = not cfg.optim.update_only_bn_affine
+        if self._fused_sgd:
+            self.tx = None
+            self._sgd_mask = fused_sgd_mask(self.init_params, cfg.model.arch,
+                                            cfg.model.partial_bn)
+            self._sgd_step_fn = fused_sgd_step
+        else:
+            self.tx = build_optimizer(cfg.optim, self.init_params,
+                                      arch=cfg.model.arch,
+                                      partial_bn=cfg.model.partial_bn)
         self._adapt_eval = jax.jit(
             self._adapt_eval_impl,
             donate_argnums=(0,) if donate else (),
@@ -194,9 +205,14 @@ class VittaEngine:
                                             jnp.zeros_like(s.var),
                                             jnp.zeros((), jnp.float32))
                          for k, s in self.source.items()}
+        if self._fused_sgd:
+            opt_state = jax.tree_util.tree_map(jnp.zeros_like,
+                                               self.init_params)
+        else:
+            opt_state = self.tx.init(self.init_params)
         return TTAState(
             params=self.init_params,
-            opt_state=self.tx.init(self.init_params),
+            opt_state=opt_state,
             ema=zeros_ema,
             step=jnp.zeros((), jnp.int32),
             batch_stats=self.batch_stats,
@@ -273,6 +289,14 @@ class VittaEngine:
         return loss, (loss_reg, loss_consis, mean_logits, new_ema,
                       new_batch_stats)
 
+    def _sgd_step(self, params, opt_state, grads):
+        if self._fused_sgd:
+            return self._sgd_step_fn(self.cfg.optim, params, opt_state,
+                                     grads, self._sgd_mask)
+        import optax
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
     def _adapt_eval_impl(self, state: TTAState, views, eval_clip, label, rng):
         grad_fn = jax.grad(self._losses, has_aux=True)
 
@@ -285,8 +309,7 @@ class VittaEngine:
             grads, (loss_reg, loss_consis, mean_logits, ema,
                     batch_stats) = grad_fn(params, ema, batch_stats, views,
                                            step_rng)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = self._sgd_step(params, opt_state, grads)
             loss_ce = cross_entropy(mean_logits, label)
         # detach EMA carry (the meter's sum is detached between steps)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
@@ -324,8 +347,8 @@ class VittaEngine:
         grads, (loss_reg, loss_consis, mean_logits, ema, batch_stats) = \
             jax.grad(self._losses, has_aux=True)(
                 state.params, state.ema, state.batch_stats, views, rng)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = self._sgd_step(state.params, state.opt_state,
+                                           grads)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
         loss_ce = cross_entropy(mean_logits, label)
         return TTAState(params, opt_state, ema, state.step + 1, batch_stats), \

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.flatten_util
 import optax
 
 from vitta_tpu.config import OptimConfig
@@ -71,6 +72,38 @@ def _with_frozen(inner: optax.GradientTransformation,
         lambda t: "train" if t else "freeze", trainable_mask)
     return optax.multi_transform(
         {"train": inner, "freeze": optax.set_to_zero()}, labels)
+
+
+def fused_sgd_mask(params, arch: str, partial_bn: bool):
+    """0/1 float mask tree for the fused SGD step (None = all trainable).
+    Multiplying the final update by the mask gives identical parameter
+    trajectories to the multi_transform form — frozen leaves never move,
+    mirroring torch's requires_grad=False."""
+    if arch == "tanet" and partial_bn:
+        mask_tree = tanet_trainable_mask(params)
+        return jax.tree_util.tree_map(
+            lambda m: jax.numpy.float32(float(m)), mask_tree)
+    return None
+
+
+def fused_sgd_step(cfg: OptimConfig, params, momentum, grads, mask=None):
+    """torch-style SGD(momentum, weight_decay) as one fused update per
+    leaf (d = g + wd*p; v = mu*v + d; p -= lr*v — basics.py:547-560).
+
+    The optax chain (add_decayed_weights -> trace -> scale -> apply,
+    optionally multi_transform-masked) issues ~5 tiny device ops per
+    parameter leaf; at ~330 leaves that is thousands of sub-microsecond
+    kernels per adaptation step.  Hand-fusing the arithmetic halves the
+    op count; XLA fuses each leaf's chain into one kernel."""
+    wd, mu, lr = cfg.weight_decay, cfg.momentum, cfg.lr
+    v2 = jax.tree_util.tree_map(
+        lambda p, v, g: mu * v + g + wd * p, params, momentum, grads)
+    if mask is None:
+        p2 = jax.tree_util.tree_map(lambda p, v: p - lr * v, params, v2)
+    else:
+        p2 = jax.tree_util.tree_map(
+            lambda p, v, m: p - (lr * m) * v, params, v2, mask)
+    return p2, v2
 
 
 def build_optimizer(cfg: OptimConfig, params, arch: str = "tanet",

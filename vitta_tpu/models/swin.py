@@ -122,6 +122,7 @@ class WindowAttention3D(nn.Module):
     dim: int
     window_size: Tuple[int, int, int]
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -132,7 +133,7 @@ class WindowAttention3D(nn.Module):
         table = self.param(
             "rpb_table", nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), nh))
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
         q = q * (hd ** -0.5)
@@ -149,7 +150,7 @@ class WindowAttention3D(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b_, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class DropPath(nn.Module):
@@ -171,12 +172,13 @@ class DropPath(nn.Module):
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, name="fc2")(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
 class SwinBlock3D(nn.Module):
@@ -189,6 +191,7 @@ class SwinBlock3D(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     stat_types: Tuple[str, ...] = ("spatiotemp",)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -215,7 +218,7 @@ class SwinBlock3D(nn.Module):
         # slices [:n,:n] when the effective window is clamped (reference
         # WindowAttention3D keeps full-size buffers, :138-147)
         attn = WindowAttention3D(c, tuple(self.window_size), self.num_heads,
-                                 name="attn")(windows, mask)
+                                 dtype=self.dtype, name="attn")(windows, mask)
         x = window_reverse(attn, window, b, dp, hp, wp)
         if any(shift):
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
@@ -224,7 +227,8 @@ class SwinBlock3D(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
         y = LayerNorm(c, stat_types=self.stat_types, name="norm2")(x)
-        y = Mlp(int(c * self.mlp_ratio), c, name="mlp")(y, deterministic)
+        y = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
@@ -233,6 +237,7 @@ class PatchMerging(nn.Module):
 
     dim: int
     stat_types: Tuple[str, ...] = ("spatiotemp",)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -244,7 +249,8 @@ class PatchMerging(nn.Module):
         x3 = x[:, :, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = LayerNorm(4 * c, stat_types=self.stat_types, name="norm")(x)
-        return nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
 
 
 class BasicLayer(nn.Module):
@@ -257,6 +263,7 @@ class BasicLayer(nn.Module):
     drop_paths: Tuple[float, ...]
     downsample: bool
     stat_types: Tuple[str, ...] = ("spatiotemp",)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -269,11 +276,12 @@ class BasicLayer(nn.Module):
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
                 drop_path=self.drop_paths[i],
                 stat_types=self.stat_types,
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)
         if self.downsample:
             x = PatchMerging(self.dim, stat_types=self.stat_types,
-                             name="downsample")(x)
+                             dtype=self.dtype, name="downsample")(x)
         return x
 
 
@@ -287,6 +295,7 @@ class SwinTransformer3D(nn.Module):
     window_size: Tuple[int, int, int] = (8, 7, 7)
     drop_path_rate: float = 0.2
     stat_types: Tuple[str, ...] = ("spatiotemp",)
+    dtype: jnp.dtype = jnp.float32     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -294,9 +303,10 @@ class SwinTransformer3D(nn.Module):
         pd, ph, pw = self.patch_size
         t, hh, ww_ = x.shape[1:4]
         pad = ((0, 0), (0, (-t) % pd), (0, (-hh) % ph), (0, (-ww_) % pw), (0, 0))
-        x = jnp.pad(x, pad)
+        x = jnp.pad(x.astype(self.dtype), pad)
         x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
                     strides=self.patch_size, padding="VALID",
+                    dtype=self.dtype,
                     name="patch_embed_proj")(x)       # (B, D, H', W', C)
         # the patch-embed LayerNorm is NOT a stat tap (basics.py:503-505)
         x = LayerNorm(self.embed_dim, tap=False, name="patch_embed_norm")(x)
@@ -313,6 +323,7 @@ class SwinTransformer3D(nn.Module):
                 drop_paths=tuple(dpr[i0:i0 + depth]),
                 downsample=(li < n_layers - 1),
                 stat_types=self.stat_types,
+                dtype=self.dtype,
                 name=f"layers_{li}",
             )(x, deterministic=deterministic)
             i0 += depth
@@ -329,7 +340,9 @@ class I3DHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = jnp.mean(x, axis=(1, 2, 3))                   # (B, C)
+        # pool + classifier in f32 (parity-critical head; matches TANet's
+        # f32 new_fc under bf16 compute)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))   # (B, C)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.num_classes, name="fc_cls",
                         kernel_init=nn.initializers.normal(0.01))(x)
@@ -348,13 +361,14 @@ class Recognizer3D(nn.Module):
     drop_path_rate: float = 0.2
     head_dropout: float = 0.5          # I3DHead dropout (i3d_head.py:30)
     stat_types: Tuple[str, ...] = ("spatiotemp",)
+    dtype: str = "float32"             # compute dtype; "bfloat16" for speed
 
     def setup(self):
         self.backbone = SwinTransformer3D(
             patch_size=self.patch_size, embed_dim=self.embed_dim,
             depths=self.depths, num_heads=self.num_heads,
             window_size=self.window_size, drop_path_rate=self.drop_path_rate,
-            stat_types=tuple(self.stat_types))
+            stat_types=tuple(self.stat_types), dtype=jnp.dtype(self.dtype))
         self.cls_head = I3DHead(self.num_classes, dropout=self.head_dropout)
 
     def __call__(self, x, *, train: bool = False,

@@ -74,12 +74,11 @@ class TAM(nn.Module):
         attn = nn.sigmoid(l)
 
         # --- apply attention and the dynamic depthwise temporal conv.
+        # One fused Pallas kernel on TPU (fwd + custom VJP) — the jnp
+        # shift-MAC formulation cost ~14% of the adaptation step in
+        # backward pad/slice/reduce ops (see ops/pallas_tam.py); the jnp
+        # reference path is used automatically off-TPU.
+        from vitta_tpu.ops.pallas_tam import tam_dynamic_conv
         xv = x.reshape(n, t, h, w, c)
-        xv = xv * attn[:, :, None, None, :].astype(x.dtype)
-        pad = self.padding
-        xp = jnp.pad(xv, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
-        out = jnp.zeros_like(xv)
-        for k in range(self.kernel_size):
-            wk = kernel[:, None, None, None, :, k].astype(x.dtype)      # (N,1,1,1,C)
-            out = out + wk * xp[:, k:k + t]
+        out = tam_dynamic_conv(xv, attn, kernel)
         return out.reshape(nt, h, w, c)
