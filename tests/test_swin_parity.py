@@ -93,3 +93,24 @@ def test_swin_tap_values_match_torch_hook(models):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tap.var), captured["var"],
                                rtol=1e-3, atol=1e-5)
+
+
+def test_factored_relative_position_bias_matches_gather():
+    """relative_position_bias (three one-hot einsums, no gather/scatter)
+    must equal the reference's table[relative_position_index] lookup
+    exactly, for the real Swin-B window and an asymmetric one."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vitta_tpu.models.swin import (relative_position_bias,
+                                       relative_position_index)
+
+    for window, nh in (((8, 7, 7), 4), ((2, 3, 4), 2)):
+        wd, wh, ww = window
+        rows = (2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1)
+        rng = np.random.default_rng(rows)
+        table = jnp.asarray(rng.normal(size=(rows, nh)).astype(np.float32))
+        n = wd * wh * ww
+        idx = relative_position_index(window)
+        want = np.asarray(table)[np.asarray(idx).reshape(-1)].reshape(n, n, nh)
+        got = np.asarray(relative_position_bias(table, window))
+        np.testing.assert_array_equal(got, want)

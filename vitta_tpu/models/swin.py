@@ -88,6 +88,43 @@ def relative_position_index(window_size: Tuple[int, int, int]) -> np.ndarray:
     return rel.sum(-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=32)
+def _axis_onehot(size: int) -> np.ndarray:
+    """(size, size, 2*size-1) one-hot of the per-axis displacement
+    q - k + size - 1."""
+    oh = np.zeros((size, size, 2 * size - 1), np.float32)
+    q = np.arange(size)[:, None]
+    k = np.arange(size)[None, :]
+    oh[q, k, q - k + size - 1] = 1.0
+    return oh
+
+
+def relative_position_bias(table, window_size: Tuple[int, int, int]):
+    """(N, N, nh) bias from the (2wd-1)(2wh-1)(2ww-1) x nh table.
+
+    The obvious formulation — ``table[relative_position_index]`` — is a
+    153k-row gather whose backward is a scatter-add into 2.5k rows; on
+    TPU those serialize (profiled at 10 + 25 ms/step for Swin-B, 30% of
+    the whole adaptation step).  The index is a *constant* with
+    separable structure (idx = d_t·s_h·s_w + d_h·s_w + d_w,
+    swin_transformer.py:109-128), so the lookup factors into three tiny
+    constant one-hot contractions — exact, MXU-friendly matmuls whose
+    transposes are matmuls too (no scatter anywhere)."""
+    wd, wh, ww = window_size
+    nh = table.shape[-1]
+    t4 = table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh)
+    a = jnp.asarray(_axis_onehot(wd))
+    b = jnp.asarray(_axis_onehot(wh))
+    c = jnp.asarray(_axis_onehot(ww))
+    x = jnp.einsum("pqa,abch->pqbch", a, t4)
+    x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
+    x = jnp.einsum("tuc,pqrsch->pqrstuh", c, x)
+    # (qt,kt,qh,kh,qw,kw,h) -> (qt,qh,qw, kt,kh,kw, h), flatten q and k
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5, 6))
+    n = wd * wh * ww
+    return x.reshape(n, n, nh)
+
+
 @functools.lru_cache(maxsize=64)
 def compute_shift_mask(dp: int, hp: int, wp: int,
                        window_size: Tuple[int, int, int],
@@ -139,8 +176,16 @@ class WindowAttention3D(nn.Module):
         q = q * (hd ** -0.5)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                           preferred_element_type=jnp.float32)
-        idx = relative_position_index(tuple(self.window_size))[:n, :n]
-        bias = table[idx.reshape(-1)].reshape(n, n, nh)
+        full_n = wd * wh * ww
+        if n == full_n:
+            bias = relative_position_bias(table, (wd, wh, ww))
+        else:
+            # clamped effective window (input smaller than the window):
+            # the first-n positions of the configured flattening are not
+            # a sub-box, so keep the reference's sliced-gather form here
+            # (tiny inputs only; swin_transformer.py:138-147)
+            idx = relative_position_index(tuple(self.window_size))[:n, :n]
+            bias = table[idx.reshape(-1)].reshape(n, n, nh)
         attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
         if mask is not None:
             nw = mask.shape[0]
