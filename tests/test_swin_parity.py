@@ -112,5 +112,5 @@ def test_factored_relative_position_bias_matches_gather():
         n = wd * wh * ww
         idx = relative_position_index(window)
         want = np.asarray(table)[np.asarray(idx).reshape(-1)].reshape(n, n, nh)
-        got = np.asarray(relative_position_bias(table, window))
-        np.testing.assert_array_equal(got, want)
+        got = np.asarray(relative_position_bias(table, window))   # (nh, N, N)
+        np.testing.assert_array_equal(got, want.transpose(2, 0, 1))

@@ -99,7 +99,8 @@ def _axis_onehot(size: int) -> np.ndarray:
     return oh
 
 
-def relative_position_bias(table, window_size: Tuple[int, int, int]):
+def relative_position_bias(table, window_size: Tuple[int, int, int],
+                           dtype=jnp.float32):
     """(N, N, nh) bias from the (2wd-1)(2wh-1)(2ww-1) x nh table.
 
     The obvious formulation — ``table[relative_position_index]`` — is a
@@ -118,11 +119,15 @@ def relative_position_bias(table, window_size: Tuple[int, int, int]):
     c = jnp.asarray(_axis_onehot(ww))
     x = jnp.einsum("pqa,abch->pqbch", a, t4)
     x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
-    x = jnp.einsum("tuc,pqrsch->pqrstuh", c, x)
-    # (qt,kt,qh,kh,qw,kw,h) -> (qt,qh,qw, kt,kh,kw, h), flatten q and k
-    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5, 6))
+    # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly.  Keep it
+    # f32 regardless of compute dtype: a bf16 variant was measured
+    # SLOWER (108.7 vs 93.5 ms/video Swin-B bf16) — the packed-pair bf16
+    # layout makes XLA's 7D reorder of this product more expensive than
+    # the f32 one.
+    del dtype
+    x = jnp.einsum("tuc,pqrsch->hprtqsu", c, x)
     n = wd * wh * ww
-    return x.reshape(n, n, nh)
+    return x.reshape(nh, n, n)
 
 
 @functools.lru_cache(maxsize=64)
@@ -173,27 +178,27 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
-        q = q * (hd ** -0.5)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
         full_n = wd * wh * ww
         if n == full_n:
-            bias = relative_position_bias(table, (wd, wh, ww))
+            bias_hqk = relative_position_bias(table, (wd, wh, ww),
+                                              dtype=self.dtype)
         else:
             # clamped effective window (input smaller than the window):
             # the first-n positions of the configured flattening are not
             # a sub-box, so keep the reference's sliced-gather form here
             # (tiny inputs only; swin_transformer.py:138-147)
             idx = relative_position_index(tuple(self.window_size))[:n, :n]
-            bias = table[idx.reshape(-1)].reshape(n, n, nh)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+            bias_hqk = jnp.transpose(
+                table[idx.reshape(-1)].reshape(n, n, nh), (2, 0, 1))
+        # fused softmax(qk^T + bias [+ mask])v — one VMEM-resident Pallas
+        # problem per (head, window) on TPU, jnp einsums elsewhere
+        # (ops/pallas_attention.py); the f32 (B_, nh, N, N) logit tensor
+        # never reaches HBM on the fused path
+        from vitta_tpu.ops.pallas_attention import fused_window_attention
+        # clamped (tiny-input) windows fall back to the jnp path — Mosaic
+        # rejects the degenerate reduction shapes they produce
+        out = fused_window_attention(q, k, v, bias_hqk, mask, hd ** -0.5,
+                                     use_pallas=None if n == full_n else False)
         out = out.reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
