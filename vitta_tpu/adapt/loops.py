@@ -8,7 +8,7 @@ aggregate meters, return per-corruption accuracy rows.
 from __future__ import annotations
 
 import time
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

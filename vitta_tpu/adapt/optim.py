@@ -16,8 +16,6 @@ optax mask (``tanet_trainable_mask``).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.flatten_util
 import optax

@@ -13,7 +13,7 @@ sharded over the device mesh (vitta_tpu.parallel.streams).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from vitta_tpu.cli.main_eval import evaluate, load_variables, load_source_stats
 from vitta_tpu.config import VittaConfig

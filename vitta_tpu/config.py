@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 # Normalization constants (reference utils/opts.py:3-9).
 TANET_INPUT_MEAN = (0.485, 0.456, 0.406)

@@ -17,7 +17,6 @@ reduction).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ selection (e.g. "layer3") behave identically.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

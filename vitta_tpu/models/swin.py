@@ -26,7 +26,7 @@ token tiles.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,8 +99,7 @@ def _axis_onehot(size: int) -> np.ndarray:
     return oh
 
 
-def relative_position_bias(table, window_size: Tuple[int, int, int],
-                           dtype=jnp.float32):
+def relative_position_bias(table, window_size: Tuple[int, int, int]):
     """(N, N, nh) bias from the (2wd-1)(2wh-1)(2ww-1) x nh table.
 
     The obvious formulation — ``table[relative_position_index]`` — is a
@@ -119,12 +118,11 @@ def relative_position_bias(table, window_size: Tuple[int, int, int],
     c = jnp.asarray(_axis_onehot(ww))
     x = jnp.einsum("pqa,abch->pqbch", a, t4)
     x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
-    # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly.  Keep it
+    # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly.  Stays
     # f32 regardless of compute dtype: a bf16 variant was measured
     # SLOWER (108.7 vs 93.5 ms/video Swin-B bf16) — the packed-pair bf16
     # layout makes XLA's 7D reorder of this product more expensive than
     # the f32 one.
-    del dtype
     x = jnp.einsum("tuc,pqrsch->hprtqsu", c, x)
     n = wd * wh * ww
     return x.reshape(nh, n, n)
@@ -180,8 +178,7 @@ class WindowAttention3D(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
         full_n = wd * wh * ww
         if n == full_n:
-            bias_hqk = relative_position_bias(table, (wd, wh, ww),
-                                              dtype=self.dtype)
+            bias_hqk = relative_position_bias(table, (wd, wh, ww))
         else:
             # clamped effective window (input smaller than the window):
             # the first-n positions of the configured flattening are not

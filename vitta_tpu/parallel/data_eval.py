@@ -12,7 +12,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vitta_tpu.baselines.common import batched_eval_iter, eval_views_of

@@ -14,7 +14,7 @@ import logging
 import os
 import sys
 import time
-from typing import Any, IO, Optional
+from typing import Any, IO
 
 
 def make_dir(path: str) -> str:

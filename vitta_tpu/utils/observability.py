@@ -17,8 +17,6 @@ import contextlib
 import json
 import os
 import time
-from typing import Optional
-
 import jax
 
 
