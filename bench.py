@@ -34,8 +34,8 @@ import numpy as np
 ASSUMED_REFERENCE_MS_PER_VIDEO = 250.0  # est. reference (single V100-class GPU)
 ASSUMED_REFERENCE_SWIN_MS_PER_VIDEO = 400.0  # Swin-B step is ~2.3x TANet FLOPs
 
-N_WARMUP = 3
-N_VIDEOS = 24
+N_WARMUP = 5
+N_VIDEOS = 64   # tunnel dispatch adds +-1-4 ms of noise; average it down
 BENCH_MODEL = os.environ.get("BENCH_MODEL", "tanet")
 BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 BENCH_E2E = os.environ.get("BENCH_E2E", "") == "1"
