@@ -65,7 +65,7 @@ def _logits(qb, kb, bias_b, mask_b, scale):
                             preferred_element_type=jnp.float32)
     l = l + bias_b[0].astype(jnp.float32)
     if mask_b is not None:
-        l = l + mask_b[0]
+        l = l + mask_b[0].astype(jnp.float32)
     return l
 
 
@@ -215,7 +215,10 @@ def fused_window_attention(q, k, v, bias, mask, scale, *,
     if not (use_pallas or interpret):
         return attention_reference(q, k, v, bias, mask, scale)
     to3 = lambda t: jnp.transpose(t, (2, 0, 1, 3))    # -> (nh, B_, N, hd)
+    # the shift mask holds only 0/-100 (compute_shift_mask) — exact in
+    # bf16, and the mask block is re-DMA'd every grid step (its window
+    # index cycles), so half-width halves that traffic
     out3 = _fused_attn(to3(q), to3(k), to3(v), bias,
-                       None if mask is None else mask.astype(jnp.float32),
+                       None if mask is None else mask.astype(jnp.bfloat16),
                        float(scale), interpret)
     return jnp.transpose(out3, (1, 2, 0, 3))          # -> (B_, N, nh, hd)
