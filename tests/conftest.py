@@ -9,7 +9,11 @@ verification loop can run ``pytest -m 'not slow'`` quickly.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# VITTA_TEST_TPU=1 lifts the CPU pin so the TPU-gated kernel tests
+# (test_tpu_kernels.py) run on real hardware.
+_USE_TPU = os.environ.get("VITTA_TEST_TPU", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +24,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # jax captured JAX_PLATFORMS at import time — override via config too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated suite runs skip recompiles.
 _CACHE_DIR = os.environ.get("VITTA_JAX_CACHE",
