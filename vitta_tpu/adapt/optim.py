@@ -94,13 +94,19 @@ def fused_sgd_step(cfg: OptimConfig, params, momentum, grads, mask=None):
     kernels per adaptation step.  Hand-fusing the arithmetic halves the
     op count; XLA fuses each leaf's chain into one kernel."""
     wd, mu, lr = cfg.weight_decay, cfg.momentum, cfg.lr
-    v2 = jax.tree_util.tree_map(
-        lambda p, v, g: mu * v + g + wd * p, params, momentum, grads)
+
+    def upd(p, v, g, m=None):
+        v2 = mu * v + g + wd * p
+        step = lr * v2 if m is None else (lr * m) * v2
+        return p - step, v2
+
     if mask is None:
-        p2 = jax.tree_util.tree_map(lambda p, v: p - lr * v, params, v2)
+        pairs = jax.tree_util.tree_map(upd, params, momentum, grads)
     else:
-        p2 = jax.tree_util.tree_map(
-            lambda p, v, m: p - (lr * m) * v, params, v2, mask)
+        pairs = jax.tree_util.tree_map(upd, params, momentum, grads, mask)
+    is_pair = lambda x: isinstance(x, tuple)
+    p2 = jax.tree_util.tree_map(lambda t: t[0], pairs, is_leaf=is_pair)
+    v2 = jax.tree_util.tree_map(lambda t: t[1], pairs, is_leaf=is_pair)
     return p2, v2
 
 
