@@ -64,14 +64,25 @@ void close_decoder(Decoder* d) {
 // or wrong for AVI/MP4 written by other tools.
 bool build_index(Decoder* d) {
   AVPacket* pkt = av_packet_alloc();
+  bool ok = true;
   while (av_read_frame(d->fmt, pkt) >= 0) {
     if (pkt->stream_index == d->stream_index) {
       int64_t t = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      if (t == AV_NOPTS_VALUE) {
+        // Timestamp-less stream: the pts index (and pts-targeted seek)
+        // cannot represent it. Fail vd_open instead of letting
+        // decode_to later match INT64_MIN against a never-decoded
+        // frame and hand a null AVFrame to sws_scale.
+        ok = false;
+        break;
+      }
       d->pts.push_back(t);
     }
     av_packet_unref(pkt);
   }
+  av_packet_unref(pkt);
   av_packet_free(&pkt);
+  if (!ok) return false;
   std::sort(d->pts.begin(), d->pts.end());
   if (d->pts.empty()) return false;
   // rewind for decoding

@@ -57,7 +57,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
     except OSError:
-        return None
+        # A stale/foreign .so (e.g. restored by git with an arbitrary
+        # mtime, or built against different libav sonames) fails to
+        # load; rebuild from source before giving up.
+        path = build_library(force=True)
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
     lib.vd_open.argtypes = [ctypes.c_char_p]
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_num_frames.argtypes = [ctypes.c_void_p]

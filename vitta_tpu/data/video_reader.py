@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import Optional
+import threading
 
 import numpy as np
 
@@ -35,22 +35,94 @@ class VideoSource:
     def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def close(self) -> None:  # default: nothing to release
+        pass
 
-class DecordVideoSource(VideoSource):
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class _CachedReaderSource(VideoSource):
+    """Shared machinery for sources that hold an open decoder per video.
+
+    The default pipeline drives ``num_frames``/``get_batch`` from a
+    thread pool (Prefetcher, data/pipeline.py), so the one-reader cache
+    is **per thread**: each worker holds its own open container and is
+    the only thread that ever closes it (when its own cursor moves to
+    another video).  A shared single-reader cache would let one thread
+    close a native decoder while another is mid-decode on the same
+    handle (use-after-free), and would share one decode cursor between
+    threads (corrupt frames).
+
+    ``close()`` releases every reader the source has opened; it must
+    only be called once worker threads are done with the source (the
+    context-manager form expresses that scoping).  A generation counter
+    makes any thread-local reader that survived a ``close()`` invalid,
+    so a reused source reopens instead of touching a closed handle.
+    """
+
     def __init__(self, data_dir: str, vid_format: str = ""):
-        import decord  # noqa: F401
-        self._decord = decord
         self.data_dir = data_dir
         self.vid_format = vid_format
-        self._cache_path: Optional[str] = None
-        self._cache_reader = None
+        self._tls = threading.local()
+        self._lock = threading.Lock()
+        self._open_readers: list = []
+        self._generation = 0
 
+    # -- subclass hooks ---------------------------------------------------
+    def _open(self, full_path: str):
+        raise NotImplementedError
+
+    @staticmethod
+    def _close_reader(reader) -> None:
+        close = getattr(reader, "close", None)
+        if close is not None:
+            close()
+
+    # -- shared cache -----------------------------------------------------
     def _reader(self, path: str):
         full = os.path.join(self.data_dir, f"{path}{self.vid_format}")
-        if self._cache_path != full:
-            self._cache_reader = self._decord.VideoReader(full)
-            self._cache_path = full
-        return self._cache_reader
+        tls = self._tls
+        with self._lock:
+            generation = self._generation
+        if (getattr(tls, "path", None) != full
+                or getattr(tls, "generation", -1) != generation):
+            old = getattr(tls, "reader", None)
+            if old is not None:
+                tls.reader = tls.path = None
+                with self._lock:
+                    if old in self._open_readers:
+                        self._open_readers.remove(old)
+                        # safe: only this thread ever used `old`
+                        self._close_reader(old)
+            reader = self._open(full)
+            with self._lock:
+                self._open_readers.append(reader)
+            tls.reader = reader
+            tls.path = full
+            tls.generation = generation
+        return tls.reader
+
+    def close(self) -> None:
+        with self._lock:
+            readers, self._open_readers = self._open_readers, []
+            self._generation += 1
+        for r in readers:
+            self._close_reader(r)
+
+
+class DecordVideoSource(_CachedReaderSource):
+    def __init__(self, data_dir: str, vid_format: str = ""):
+        import decord  # noqa: F401
+        super().__init__(data_dir, vid_format)
+        self._decord = decord
+
+    def _open(self, full_path: str):
+        return self._decord.VideoReader(full_path)
 
     def num_frames(self, path: str) -> int:
         return len(self._reader(path))
@@ -61,32 +133,24 @@ class DecordVideoSource(VideoSource):
         return vr.get_batch(idx).asnumpy()
 
 
-class FFmpegVideoSource(VideoSource):
+class FFmpegVideoSource(_CachedReaderSource):
     """First-party native decode (csrc/vitta_decode.cpp via libav) —
     same contract as decord's VideoReader/get_batch
     (models/tanet_models/video_dataset.py:320-341), no third-party
-    decoder dependency.  Keeps one open container cached, matching the
-    sequential per-video access pattern of the stream loops."""
+    decoder dependency.  Keeps one open container cached per worker
+    thread, matching the sequential per-video access pattern of the
+    stream loops."""
 
     def __init__(self, data_dir: str, vid_format: str = ""):
         from vitta_tpu.data import native_decode
         if not native_decode.available():
             raise RuntimeError(
                 "native decoder unavailable (libav headers / g++ missing)")
+        super().__init__(data_dir, vid_format)
         self._nd = native_decode
-        self.data_dir = data_dir
-        self.vid_format = vid_format
-        self._cache_path: Optional[str] = None
-        self._cache_reader = None
 
-    def _reader(self, path: str):
-        full = os.path.join(self.data_dir, f"{path}{self.vid_format}")
-        if self._cache_path != full:
-            if self._cache_reader is not None:
-                self._cache_reader.close()
-            self._cache_reader = self._nd.NativeVideoReader(full)
-            self._cache_path = full
-        return self._cache_reader
+    def _open(self, full_path: str):
+        return self._nd.NativeVideoReader(full_path)
 
     def num_frames(self, path: str) -> int:
         return len(self._reader(path))
