@@ -135,18 +135,95 @@ def test_temp_stats_npy_roundtrip(tmp_path):
         np.testing.assert_array_equal(back[name][0], stats[name][0])
 
 
-def test_engine_rejects_multi_stat_type():
-    """Multi-type stat lists must fail loudly, mirroring the reference's
-    assert (norm_stats_utils.py:131) rather than silently using one."""
+# --- multi-type regularization (the reference legacy loop's intent:
+# several stat types at once, per-type source files and meters summed
+# into one loss, basics.py:850-906) ---------------------------------------
+
+def _tiny_multi_setup():
     import dataclasses
-    from vitta_tpu.adapt.engine import VittaEngine
+    from vitta_tpu.adapt.engine import flatten_taps
     from vitta_tpu.config import tanet_ucf101_preset
     from vitta_tpu.models.tanet import TANet
 
+    Tc, HWc, Kc = 2, 16, 5
     cfg = tanet_ucf101_preset()
-    cfg = cfg.replace(tta=dataclasses.replace(
-        cfg.tta, stat_type=("spatiotemp", "temp")))
-    model = TANet(num_classes=3, clip_length=2)
-    with pytest.raises(NotImplementedError, match="stat_type"):
-        VittaEngine(model, cfg, {"params": {}, "batch_stats": {}}, {},
-                    tap_names=())
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, clip_length=Tc, input_size=HWc,
+                                 scale_size=HWc),
+        model=dataclasses.replace(cfg.model, num_classes=Kc),
+        tta=dataclasses.replace(cfg.tta, stat_type=("spatiotemp", "temp")))
+    model = TANet(num_classes=Kc, clip_length=Tc,
+                  stat_types=cfg.tta.tap_stat_types())
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, Tc, HWc, HWc, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x0, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    clean = jax.random.normal(jax.random.PRNGKey(1), (2, Tc, HWc, HWc, 3))
+    _, aux = model.apply(variables, clean, train=False, mutable=["taps"])
+    # per-type source dicts: spatiotemp has None placeholders at BN1d
+    # positions (basics.py:873-880) -> omit those names; temp includes them
+    src_st = {n: (np.asarray(s.mean), np.asarray(s.var))
+              for n, s in flatten_taps(aux["taps"], leaf="stat").items()
+              if "g_bn" not in n and "l_bn" not in n}
+    src_t = {n: (np.asarray(s.mean), np.asarray(s.var))
+             for n, s in flatten_taps(aux["taps"], leaf="stat_temp").items()}
+    return cfg, model, variables, src_st, src_t
+
+
+def test_multi_type_engine_sums_single_type_losses():
+    """At step 0 (zero EMA carries), the two-type loss_reg equals the sum
+    of the single-type losses on the same forward."""
+    import dataclasses
+    from vitta_tpu.adapt.engine import VittaEngine
+
+    cfg, model, variables, src_st, src_t = _tiny_multi_setup()
+    views = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 16, 16, 3))
+    rngk = jax.random.PRNGKey(3)
+
+    def loss_reg_of(engine):
+        state = engine.init_state()
+        _loss, (loss_reg, *_rest) = engine._losses(
+            state.params, state.ema, state.batch_stats, views, rngk)
+        return float(loss_reg)
+
+    multi = VittaEngine(model, cfg, variables,
+                        {"spatiotemp": src_st, "temp": src_t}, donate=False)
+    assert multi._multi and len(multi.reg_specs) == 2
+    cfg_a = cfg.replace(tta=dataclasses.replace(cfg.tta,
+                                                stat_type=("spatiotemp",)))
+    cfg_b = cfg.replace(tta=dataclasses.replace(cfg.tta, stat_type=("temp",)))
+    la = loss_reg_of(VittaEngine(model, cfg_a, variables, src_st, donate=False))
+    lb = loss_reg_of(VittaEngine(model, cfg_b, variables, src_t, donate=False))
+    lm = loss_reg_of(multi)
+    assert lm > 0
+    np.testing.assert_allclose(lm, la + lb, rtol=1e-5)
+
+    # EMA carry: one sub-dict per type, BN1d layers only under 'temp'
+    state = multi.init_state()
+    assert set(state.ema) == {"spatiotemp", "temp"}
+    temp_names = set(dict(state.ema["temp"]))
+    st_names = set(dict(state.ema["spatiotemp"]))
+    assert any("g_bn" in n or "l_bn" in n for n in temp_names)
+    assert not any("g_bn" in n or "l_bn" in n for n in st_names)
+
+
+def test_multi_type_spec_layer_placement():
+    """select_tap_names honors per-type BN1d placement: the temporal spec
+    covers the TAM BatchNorm1d layers inside chosen blocks, the
+    spatiotemp spec does not (basics.py:855-888)."""
+    from vitta_tpu.adapt.engine import VittaEngine
+
+    cfg, model, variables, src_st, src_t = _tiny_multi_setup()
+    eng = VittaEngine(model, cfg, variables,
+                      {"spatiotemp": src_st, "temp": src_t}, donate=False)
+    by_key = {s.key: s for s in eng.reg_specs}
+    assert set(by_key) == {"spatiotemp", "temp"}
+    assert all(("layer3" in n) or ("layer4" in n)
+               for s in eng.reg_specs for n in s.names)
+    assert any("tam" in n for n in by_key["temp"].names)
+    assert not any("tam" in n for n in by_key["spatiotemp"].names)
+    # missing per-type source fails loudly
+    with pytest.raises(KeyError, match="temp"):
+        VittaEngine(model, cfg, variables, {"spatiotemp": src_st},
+                    donate=False)

@@ -48,6 +48,21 @@ from vitta_tpu.ops.stats import (CumulativeState, TapStats, cumulative_update,
 TapDict = Dict[str, TapStats]
 
 
+class RegSpec(NamedTuple):
+    """One statistic-regularization channel: a tap leaf to read, the
+    chosen layer names, and their source-side targets.
+
+    mean_var mode has one spec per configured ``stat_type`` (the
+    reference's multi-type legacy path sums per-type hooks into one
+    loss, basics.py:850-906); BNS and cossim modes have a single spec
+    keyed 'BNS' / 'cossim'."""
+
+    key: str
+    leaf: str
+    names: Tuple[str, ...]
+    source: Dict[str, TapStats]
+
+
 def flatten_taps(tree, leaf: str = "stat") -> TapDict:
     """Flatten a ``taps`` collection to {dotted.name: TapStats}.
 
@@ -136,38 +151,71 @@ class VittaEngine:
         self._norm_div255 = cfg.model.arch != "videoswintransformer"
         self.batch_stats = variables.get("batch_stats", {})
         self.init_params = variables["params"]
-        # Statistic type of the live regularization.  The reference live
-        # hook only ever supports one and asserts it is spatiotemp
-        # (norm_stats_utils.py:131); here any single type is honored (the
-        # taps/precompute produce all four) and multi-type lists are
-        # rejected loudly instead of silently collapsing to one.
-        if len(cfg.tta.stat_type) != 1:
-            raise NotImplementedError(
-                f"stat_type={cfg.tta.stat_type}: the regularization loop "
-                "supports exactly one statistic type (the reference asserts "
-                "['spatiotemp'], norm_stats_utils.py:131)")
-        self.stat_type = cfg.tta.stat_type[0]
-        # which side of the norm layer the statistics are taken from
-        # (opts.py:92 before_norm; BNS always compares the input against
-        # the layer's running stats, BNS_utils.py:19-77)
+        # Regularization channels.  The reference live hook only supports
+        # ['spatiotemp'] (norm_stats_utils.py:131); the legacy loop's
+        # intent — several statistic types regularized at once with
+        # per-type source files and per-type meters summed into one loss
+        # (basics.py:850-906, loader :749-757) — is realized here as one
+        # RegSpec per type.  'cossim' mirrors CombineCossimRegHook
+        # registration (basics.py:908-925).  Tap side per
+        # opts.py:92 before_norm; BNS always reads the norm *input* and
+        # compares against the layer's running stats (BNS_utils.py:19-77).
         from vitta_tpu.models.layers import tap_leaf_name
-        if cfg.tta.stat_reg == "BNS":
-            self.tap_leaf = "stat_in"
-        else:
-            self.tap_leaf = tap_leaf_name(self.stat_type,
-                                          input_side=cfg.tta.before_norm)
+        tcfg = cfg.tta
+        self.stat_types = tuple(tcfg.stat_type)
 
-        if cfg.tta.stat_reg == "BNS":
+        def pick(src):
+            if tap_names is None:
+                names = select_tap_names(src.keys(), tcfg.chosen_blocks, src)
+            else:  # explicit override, restricted to layers this spec covers
+                names = tuple(n for n in tap_names if n in src)
+            return tuple(names), {k: src[k] for k in names}
+
+        specs = []
+        if tcfg.stat_reg == "BNS":
             src = batch_stats_as_tapdict(self.batch_stats)
+            specs.append(RegSpec("BNS", "stat_in", *pick(src)))
+        elif tcfg.stat_reg == "cossim":
+            assert source_stats is not None, \
+                "cossim mode needs relation-map targets (temp_cossim_clean_file)"
+            # targets wrapped as zero-variance TapStats: l1/mse
+            # compute_regularization then coincides with the reference's
+            # cossim loss (relation_map_utils.py:326-331); None entries
+            # (layers without a relation map) are skipped like the
+            # reference registration (basics.py:916)
+            src = {}
+            for k, v in source_stats.items():
+                if v is None:
+                    continue
+                vec = jnp.asarray(v, jnp.float32)
+                src[k] = TapStats(vec, jnp.zeros_like(vec))
+            leaf = tap_leaf_name("cossim", input_side=tcfg.before_norm)
+            specs.append(RegSpec("cossim", leaf, *pick(src)))
         else:
             assert source_stats is not None, "mean_var mode needs source stats"
-            src = {k: TapStats(jnp.asarray(m, jnp.float32),
-                               jnp.asarray(v, jnp.float32))
-                   for k, (m, v) in source_stats.items()}
-        if tap_names is None:
-            tap_names = select_tap_names(src.keys(), cfg.tta.chosen_blocks, src)
-        self.tap_names = tap_names
-        self.source = {k: src[k] for k in tap_names}
+            # accept {name: (mean, var)} for a single type, or the
+            # per-type nesting {stat_type: {name: (mean, var)}}
+            nested = source_stats and all(
+                isinstance(v, dict) for v in source_stats.values())
+            per_type = source_stats if nested else \
+                {self.stat_types[0]: source_stats}
+            for st in self.stat_types:
+                if st not in per_type:
+                    raise KeyError(
+                        f"stat_type {st!r} has no source statistics (got "
+                        f"types {sorted(per_type)}; pass the per-type "
+                        "*_clean_file pair, basics.py:749-757)")
+                src = {k: TapStats(jnp.asarray(m, jnp.float32),
+                                   jnp.asarray(v, jnp.float32))
+                       for k, (m, v) in per_type[st].items()}
+                leaf = tap_leaf_name(st, input_side=tcfg.before_norm)
+                specs.append(RegSpec(st, leaf, *pick(src)))
+        self.reg_specs = tuple(specs)
+        self._multi = len(specs) > 1
+        # single-spec compatibility views
+        self.tap_leaf = specs[0].leaf
+        self.tap_names = specs[0].names
+        self.source = specs[0].source
 
         # SGD (the live default) is a hand-fused per-leaf update — the
         # optax chain costs thousands of tiny device ops per step (see
@@ -193,18 +241,23 @@ class VittaEngine:
         self._adapt_only = jax.jit(self._adapt_only_impl)
 
     # ------------------------------------------------------------------
-    def init_state(self) -> TTAState:
-        if self.cfg.tta.moving_avg or self.cfg.tta.stat_reg == "BNS":
+    def _init_ema_for(self, spec: RegSpec) -> dict:
+        if self.cfg.tta.moving_avg or spec.key == "BNS":
             # MovingAverageTensor starts from 0 (utils_.py:204-208)
-            zeros_ema = {k: TapStats(jnp.zeros_like(s.mean),
-                                     jnp.zeros_like(s.var))
-                         for k, s in self.source.items()}
+            return {k: TapStats(jnp.zeros_like(s.mean),
+                                jnp.zeros_like(s.var))
+                    for k, s in spec.source.items()}
+        # AverageMeterTensor: running sum + count (utils_.py:190-202)
+        return {k: CumulativeState(jnp.zeros_like(s.mean),
+                                   jnp.zeros_like(s.var),
+                                   jnp.zeros((), jnp.float32))
+                for k, s in spec.source.items()}
+
+    def init_state(self) -> TTAState:
+        if self._multi:
+            zeros_ema = {s.key: self._init_ema_for(s) for s in self.reg_specs}
         else:
-            # AverageMeterTensor: running sum + count (utils_.py:190-202)
-            zeros_ema = {k: CumulativeState(jnp.zeros_like(s.mean),
-                                            jnp.zeros_like(s.var),
-                                            jnp.zeros((), jnp.float32))
-                         for k, s in self.source.items()}
+            zeros_ema = self._init_ema_for(self.reg_specs[0])
         if self._fused_sgd:
             opt_state = jax.tree_util.tree_map(jnp.zeros_like,
                                                self.init_params)
@@ -227,7 +280,8 @@ class VittaEngine:
             xf = xf / 255.0
         return (xf - self._norm_mean) / self._norm_std
 
-    def _forward_with_taps(self, params, batch_stats, views, rng):
+    def _forward_tree(self, params, batch_stats, views, rng):
+        """One tapped forward; returns the raw ``taps`` tree."""
         views = self._maybe_normalize(views)
         variables = {"params": params, "batch_stats": batch_stats}
         if self.cfg.tta.fix_BNS:
@@ -246,37 +300,55 @@ class VittaEngine:
                 use_running_average=False, update_running_stats=True,
                 mutable=["taps", "batch_stats"], rngs={"dropout": rng})
             new_batch_stats = aux["batch_stats"]
-        taps = flatten_taps(aux["taps"], leaf=self.tap_leaf)
-        return logits, taps, new_batch_stats
+        return logits, aux["taps"], new_batch_stats
+
+    def _forward_with_taps(self, params, batch_stats, views, rng):
+        logits, tree, new_batch_stats = self._forward_tree(
+            params, batch_stats, views, rng)
+        return logits, flatten_taps(tree, leaf=self.tap_leaf), new_batch_stats
 
     def _losses(self, params, ema, batch_stats, views, rng):
+        from vitta_tpu.models.layers import COUNT_LEAF
         tcfg = self.cfg.tta
-        logits, taps, new_batch_stats = self._forward_with_taps(
+        logits, tree, new_batch_stats = self._forward_tree(
             params, batch_stats, views, rng)
         # prediction consistency over augmented views
         n_views = tcfg.n_augmented_views if tcfg.if_sample_tta_aug_views else 1
         bv = logits.shape[0]
+        # per-layer reference batch counts for the cumulative meters
+        # (AverageMeterTensor.update(value, n=bz), the bz of each layer's
+        # feature shape — norm_stats_utils.py:166-182,239-249)
+        counts = flatten_taps(tree, leaf=COUNT_LEAF)
         # statistic alignment over chosen layers ("onereg": views already
-        # folded into batch before the taps)
+        # folded into batch before the taps), one spec per stat channel,
+        # all summed into one loss (basics.py:900-906)
         loss_reg = jnp.float32(0.0)
-        new_ema = {}
-        for name in self.tap_names:
-            if tcfg.stat_reg == "BNS":
-                # BNFeatureHook: raw batch stats, or running-manner EMA with
-                # momentum_bns (BNS_utils.py:55-77)
-                updated = (ema_update(ema[name], taps[name], tcfg.momentum_bns)
-                           if tcfg.running_manner else taps[name])
-                new_ema[name] = updated
-            elif tcfg.moving_avg:
-                updated = ema_update(ema[name], taps[name], tcfg.momentum_mvg)
-                new_ema[name] = updated
-            else:
-                # AverageMeterTensor with n = folded batch size
-                # (compute_reg_for_NCTHW, norm_stats_utils.py:247-249)
-                new_ema[name], updated = cumulative_update(
-                    ema[name], taps[name], jnp.float32(bv))
-            loss_reg = loss_reg + compute_regularization(
-                self.source[name], updated, tcfg.reg_type)
+        new_ema_subs = {}
+        for spec in self.reg_specs:
+            taps = flatten_taps(tree, leaf=spec.leaf)
+            ema_sub = ema[spec.key] if self._multi else ema
+            new_sub = {}
+            for name in spec.names:
+                if spec.key == "BNS":
+                    # BNFeatureHook: raw batch stats, or running-manner EMA
+                    # with momentum_bns (BNS_utils.py:55-77)
+                    updated = (ema_update(ema_sub[name], taps[name],
+                                          tcfg.momentum_bns)
+                               if tcfg.running_manner else taps[name])
+                    new_sub[name] = updated
+                elif tcfg.moving_avg:
+                    updated = ema_update(ema_sub[name], taps[name],
+                                         tcfg.momentum_mvg)
+                    new_sub[name] = updated
+                else:
+                    new_sub[name], updated = cumulative_update(
+                        ema_sub[name], taps[name],
+                        counts.get(name, jnp.float32(bv)))
+                loss_reg = loss_reg + compute_regularization(
+                    spec.source[name], updated, tcfg.reg_type)
+            new_ema_subs[spec.key] = new_sub
+        new_ema = (new_ema_subs if self._multi
+                   else new_ema_subs[self.reg_specs[0].key])
         view_logits = logits.reshape(bv // n_views, n_views, -1)
         if tcfg.if_sample_tta_aug_views and tcfg.if_pred_consistency:
             loss_consis = pred_consistency(view_logits)

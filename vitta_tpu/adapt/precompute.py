@@ -106,7 +106,8 @@ def compute_cossim_statistics(model, variables, data_iter, clip_len: int,
     modules.
     """
     from vitta_tpu.models.layers import BatchNorm, LayerNorm
-    from vitta_tpu.ops.relation import pairwise_similarity
+    from vitta_tpu.ops.relation import (pairwise_similarity,
+                                        upper_triangle_cosine)
 
     def is_norm(mdl, method_name):
         return isinstance(mdl, (BatchNorm, LayerNorm)) and method_name == "__call__"
@@ -124,8 +125,17 @@ def compute_cossim_statistics(model, variables, data_iter, clip_len: int,
             if feat.ndim == 4:           # (N*T, H, W, C) -> (N, T, H, W, C)
                 nt = feat.shape[0]
                 feat = feat.reshape(nt // clip_len, clip_len, *feat.shape[1:])
+            elif feat.ndim == 3:
+                # rank-3 BN1d feature, channels-last (N, T, C): the
+                # reference computes the temporal relation map over its
+                # T rows (compute_sim_for_NCT, relation_map_utils.py:153-162)
+                # — only for stat_type 'temp'; other types are None
+                # placeholders at BN1d positions (basics.py:333-335)
+                if stat_type == "temp":
+                    out[name] = jnp.mean(upper_triangle_cosine(feat), axis=0)
+                continue
             elif feat.ndim != 5:
-                continue                  # 2D/3D BN1d features: no relation map
+                continue                  # rank-2 BN1d features: no relation map
             out[name] = pairwise_similarity(feat, stat_type)
         return out
 

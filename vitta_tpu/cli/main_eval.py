@@ -63,23 +63,39 @@ def load_variables(cfg: VittaConfig, model, seed: int = 0):
 
 
 def load_source_stats(cfg: VittaConfig):
-    """Pick the precomputed stat-file pair for the configured stat type
-    (reference load_precomputed_statistics, basics.py:749-757; the
-    temporal pair serves both temp and temp_v2)."""
+    """Load the precomputed stat-file pair(s) for the configured stat
+    type(s) (reference load_precomputed_statistics, basics.py:749-757;
+    the temporal pair serves both temp and temp_v2), or the relation-map
+    targets for the cossim regularization (basics.py:908-916).
+
+    Returns ``{name: (mean, var)}`` for one statistic type,
+    ``{stat_type: {name: (mean, var)}}`` when several types are
+    regularized at once, ``{name: sim_vec|None}`` for cossim, or
+    ``None`` when a required file is missing."""
     t = cfg.tta
-    st = t.stat_type[0] if t.stat_type else "spatiotemp"
-    pair = {
+    if t.stat_reg == "cossim":
+        if not t.temp_cossim_clean_file:
+            return None
+        from vitta_tpu.utils.checkpoint import load_reference_cossim
+        return load_reference_cossim(t.temp_cossim_clean_file, cfg.model.arch)
+    pairs = {
         "spatiotemp": (t.spatiotemp_mean_clean_file, t.spatiotemp_var_clean_file),
         "spatial": (t.spatial_mean_clean_file, t.spatial_var_clean_file),
         "temp": (t.temp_mean_clean_file, t.temp_var_clean_file),
         "temp_v2": (t.temp_mean_clean_file, t.temp_var_clean_file),
-    }[st]
-    if pair[0] and pair[1]:
-        return load_reference_stats(
-            pair[0], pair[1], cfg.model.arch,
+    }
+    out = {}
+    for st in (t.stat_type or ("spatiotemp",)):
+        mf, vf = pairs[st]
+        if not (mf and vf):
+            return None
+        out[st] = load_reference_stats(
+            mf, vf, cfg.model.arch,
             include_bn1d=(cfg.model.arch == "tanet"
                           and st in ("temp", "temp_v2")))
-    return None
+    if len(out) == 1:
+        return next(iter(out.values()))
+    return out
 
 
 def make_datasets(cfg: VittaConfig, source_kind: str = "decord",
@@ -109,8 +125,10 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
         src_stats = load_source_stats(cfg)
         if src_stats is None and cfg.tta.stat_reg != "BNS":
             raise FileNotFoundError(
-                "tta=True needs precomputed source statistics "
-                "(--spatiotemp_{mean,var}_clean_file) — run compute_stats first")
+                "tta=True needs precomputed source statistics (one "
+                "--<stat_type>_{mean,var}_clean_file pair per configured "
+                "stat_type, or --temp_cossim_clean_file for "
+                "stat_reg='cossim') — run compute_stats first")
         engine = VittaEngine(model, cfg, variables, src_stats)
         # JSONL scalar stream in the result dir — the counterpart of the
         # reference's tensorboardX writer (main_eval.py:85)
@@ -162,8 +180,6 @@ def run_compute_stats(cfg: VittaConfig, source_kind: str = "decord",
     import os
     import time
 
-    import numpy as np
-
     from vitta_tpu.utils.checkpoint import tanet_norm_layers
     from vitta_tpu.adapt.precompute import compute_cossim_statistics
 
@@ -191,14 +207,12 @@ def run_compute_stats(cfg: VittaConfig, source_kind: str = "decord",
             tap_filter=tap_filter, logger=logger)
         os.makedirs(out, exist_ok=True)
         tag = time.strftime("%Y%m%d_%H%M%S")
-        # reference layout: one object-array file in choose_layers order
-        # (basics.py:393-401)
-        from vitta_tpu.utils.checkpoint import swin_norm_layers
-        order = [n for n, _ in (tanet_norm_layers() if cfg.model.arch == "tanet"
-                                else swin_norm_layers())]
-        ordered = [sims[n] for n in order if n in sims]
+        # reference layout: one object-array entry per norm layer in
+        # choose_layers order, None where no relation map exists
+        # (basics.py:328-338,397-401)
+        from vitta_tpu.utils.checkpoint import save_cossim
         path = os.path.join(out, f"list_{stat_type}_relationmap_{tag}.npy")
-        np.save(path, np.array(ordered, dtype=object), allow_pickle=True)
+        save_cossim(path, sims, cfg.model.arch)
         logger.info(f"saved cossim relation maps: {path}")
         return (path,)
     stats = compute_source_statistics(

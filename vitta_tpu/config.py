@@ -107,7 +107,7 @@ class TTAConfig:
 
     tta: bool = True
     if_tta_standard: str = "tta_online"    # 'tta_online' | 'tta_standard'
-    stat_reg: str = "mean_var"             # 'mean_var' | 'BNS'
+    stat_reg: str = "mean_var"             # 'mean_var' | 'BNS' | 'cossim'
     stat_type: Tuple[str, ...] = ("spatiotemp",)
     reg_type: str = "l1_loss"              # 'l1_loss' | 'mse_loss' | 'kld'
     before_norm: bool = False              # stats on norm input instead of output
@@ -153,6 +153,42 @@ class TTAConfig:
             assert self.n_epoch_adapat == 1
         else:
             raise ValueError(f"unknown if_tta_standard={self.if_tta_standard}")
+        # Regularization-mode invariants: the reference raises on unknown
+        # stat_reg (basics.py:936-937); stat_type entries feed the tap
+        # engine (norm_stats_utils.py:80-98 + relation_map_utils.py).
+        if self.stat_reg not in ("mean_var", "BNS", "cossim"):
+            raise ValueError(
+                f"unknown stat_reg={self.stat_reg!r} "
+                "(expected 'mean_var', 'BNS' or 'cossim')")
+        if not self.stat_type:
+            raise ValueError("stat_type must name at least one statistic type")
+        known = ("spatiotemp", "spatial", "temp", "temp_v2")
+        for st in self.stat_type:
+            if st not in known:
+                raise ValueError(f"unknown stat_type entry {st!r} "
+                                 f"(expected one of {known})")
+        if self.stat_reg == "cossim":
+            # CombineCossimRegHook only implements the temporal relation
+            # map ('temp' branches, relation_map_utils.py:254-321); any
+            # other stat_type silently yields a zero regularizer in the
+            # reference — rejected loudly here.
+            if "temp" not in self.stat_type:
+                raise ValueError(
+                    "stat_reg='cossim' requires 'temp' in stat_type (the "
+                    "reference hook only regularizes the temporal relation "
+                    "map, relation_map_utils.py:254-321; with other types "
+                    "its loss is identically zero)")
+            if self.reg_type == "kld":
+                raise ValueError("stat_reg='cossim' supports l1_loss/mse_loss "
+                                 "only (relation_map_utils.py:326-331)")
+
+    def tap_stat_types(self) -> Tuple[str, ...]:
+        """Statistic-tap leaves the model must sow for this config:
+        the configured ``stat_type`` list, or the pairwise-similarity
+        tap when the cossim regularization is active."""
+        if self.stat_reg == "cossim":
+            return ("cossim",)
+        return tuple(self.stat_type)
 
 
 @dataclass(frozen=True)

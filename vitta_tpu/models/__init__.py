@@ -8,7 +8,7 @@ def get_model(cfg):
         return TANet(num_classes=cfg.model.num_classes,
                      clip_length=cfg.data.clip_length,
                      dropout=cfg.model.dropout,
-                     stat_types=tuple(cfg.tta.stat_type),
+                     stat_types=cfg.tta.tap_stat_types(),
                      dtype=cfg.model.compute_dtype)
     if arch == "videoswintransformer":
         from vitta_tpu.models.swin import Recognizer3D
@@ -19,7 +19,7 @@ def get_model(cfg):
             embed_dim=cfg.model.embed_dim,
             depths=cfg.model.depths,
             num_heads=cfg.model.num_heads,
-            stat_types=tuple(cfg.tta.stat_type),
+            stat_types=cfg.tta.tap_stat_types(),
         )
     if arch.startswith("i3d_resnet"):
         from vitta_tpu.models.i3d import I3DResNet

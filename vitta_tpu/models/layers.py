@@ -30,12 +30,18 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vitta_tpu.ops.stats import channel_stats
+from vitta_tpu.ops.stats import TapStats, channel_stats
 
 # Tap collection name used across the framework.
 TAPS = "taps"
 
-STAT_TYPES = ("spatiotemp", "spatial", "temp", "temp_v2")
+STAT_TYPES = ("spatiotemp", "spatial", "temp", "temp_v2", "cossim")
+
+# Leaf carrying the reference's per-layer batch count ``bz`` — the ``n``
+# of the cumulative meters (AverageMeterTensor.update(value, n=bz),
+# norm_stats_utils.py:177-182,244-249): the folded (views x videos) batch
+# for 4D/5D features, the raw leading dim for BN1d-style features.
+COUNT_LEAF = "stat_n"
 
 
 def _tap_overwrite(old, new):
@@ -53,6 +59,34 @@ def tap_leaf_name(stat_type: str, input_side: bool = False) -> str:
     return base if stat_type == "spatiotemp" else f"{base}_{stat_type}"
 
 
+def _sow_cossim(mod: nn.Module, x, leaf: str, clip_len: int) -> None:
+    """Sow the temporal pairwise-similarity vector, wrapped as a
+    TapStats with zero variance so the EMA/cumulative meters and the
+    l1/mse regularization apply unchanged (the var term contributes 0,
+    making compute_regularization coincide with the reference's cossim
+    l1_loss/mse_loss, relation_map_utils.py:326-331).
+
+    Feature handling mirrors CombineCossimRegHook.hook_fn
+    (relation_map_utils.py:254-299): 5D/unfolded-4D features give the
+    (T, T) upper-triangle map over CHW rows; rank-3 BN1d features the
+    (T, T) map over C rows; rank-2 features have no relation map
+    (sim_vec None, relation_map_utils.py:129-132) — no tap sown.
+    """
+    from vitta_tpu.ops.relation import (pairwise_similarity,
+                                        upper_triangle_cosine)
+    sim = None
+    if x.ndim == 5:
+        sim = pairwise_similarity(x, "temp")
+    elif x.ndim == 4 and clip_len > 0:
+        xr = x.reshape(x.shape[0] // clip_len, clip_len, *x.shape[1:])
+        sim = pairwise_similarity(xr, "temp")
+    elif x.ndim == 3:                    # (N, T, C) channels-last BN1d
+        sim = jnp.mean(upper_triangle_cosine(x), axis=0)
+    if sim is not None:
+        mod.sow(TAPS, leaf, TapStats(sim, jnp.zeros_like(sim)),
+                reduce_fn=_tap_overwrite)
+
+
 def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
                      clip_len: int, input_side: bool = False) -> None:
     """Sow one tap per requested statistic type.
@@ -67,7 +101,9 @@ def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
         if st not in STAT_TYPES:
             raise NotImplementedError(f"stat_type={st!r}")
         leaf = tap_leaf_name(st, input_side)
-        if st == "spatiotemp":
+        if st == "cossim":
+            _sow_cossim(mod, x, leaf, clip_len)
+        elif st == "spatiotemp":
             mod.sow(TAPS, leaf, channel_stats(x), reduce_fn=_tap_overwrite)
         elif x.ndim >= 5:                       # (N, T, H, W, C)
             mod.sow(TAPS, leaf, channel_stats(x, stat_type=st, time_axis=1),
@@ -86,6 +122,11 @@ def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
         # 'spatial' on BN1d features: undefined — the reference emits None
         # placeholders at BatchNorm1d positions (basics.py:873-880); the
         # omitted tap is the placeholder here.
+    if not input_side and stat_types:
+        # reference bz for this layer's feature (see COUNT_LEAF)
+        n = x.shape[0] // clip_len if (x.ndim == 4 and clip_len > 0) \
+            else x.shape[0]
+        mod.sow(TAPS, COUNT_LEAF, jnp.float32(n), reduce_fn=_tap_overwrite)
 
 
 class BatchNorm(nn.Module):

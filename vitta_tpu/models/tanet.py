@@ -59,13 +59,22 @@ class TANet(nn.Module):
         logits = logits.reshape(b, t, self.num_classes)
         return jnp.mean(logits, axis=1)
 
-    def features(self, x, *, use_running_average: bool = True,
+    def features(self, x, *, train: bool = False,
+                 use_running_average: bool = True,
                  update_running_stats: bool = False):
         """Clip-level backbone features (consensus over T before the
         classifier) — used by SHOT/T3A (baselines/shot.py:41-59,
-        t3a.py:29-95)."""
+        t3a.py:29-95).
+
+        ``train=True`` applies the TSN dropout to the per-frame features
+        before the temporal mean — the extractor's forward during SHOT
+        adaptation runs in train mode (``ext.train()``, reference
+        baselines/shot.py:73; the Dropout sits in the base model's fc
+        slot, tanet.py:100-104, so ``ext`` output with new_fc=Identity
+        is consensus-mean of dropped features)."""
         b, t = x.shape[0], x.shape[1]
         feats = self._features(x, use_running_average, update_running_stats)
+        feats = self.drop(feats, deterministic=not train)
         return feats.reshape(b, t, -1).mean(axis=1)
 
     def classify(self, feats):

@@ -336,14 +336,48 @@ def load_reference_stats(mean_file: str, var_file: str, arch: str,
     raise NotImplementedError(arch)
 
 
+def load_reference_cossim(path: str, arch: str = "tanet",
+                          use_tam: bool = True,
+                          depths=(2, 2, 18, 2)) -> Dict[str, np.ndarray]:
+    """Load a ``list_{stat_type}_relationmap_*.npy`` file into
+    ``{tap_name: sim_vec}``.
+
+    The reference file carries one entry per norm layer in
+    ``choose_layers`` order with ``None`` placeholders at layers without
+    a relation map (basics.py:328-338,397-401); ``None`` entries keep
+    their ``None`` so the engine can skip them like the reference
+    registration does (basics.py:916)."""
+    entries = list(np.load(path, allow_pickle=True))
+    layers = (tanet_norm_layers(use_tam) if arch == "tanet"
+              else swin_norm_layers(depths=depths))
+    assert len(entries) == len(layers), (len(entries), len(layers))
+    return {name: (None if e is None else np.asarray(e, np.float32))
+            for (name, _), e in zip(layers, entries)}
+
+
+def save_cossim(path: str, sims: Dict[str, np.ndarray], arch: str,
+                use_tam: bool = True, depths=(2, 2, 18, 2)) -> None:
+    """Write relation-map vectors in the reference layout: one object-
+    array entry per norm layer, ``None`` where no map exists
+    (basics.py:397-401)."""
+    layers = (tanet_norm_layers(use_tam) if arch == "tanet"
+              else swin_norm_layers(depths=depths))
+    arr = np.empty(len(layers), dtype=object)
+    for i, (name, _) in enumerate(layers):
+        arr[i] = (np.asarray(sims[name], np.float32)
+                  if sims.get(name) is not None else None)
+    np.save(path, arr, allow_pickle=True)
+
+
 def save_stats(path_mean: str, path_var: str, stats: Dict[str, Tuple[np.ndarray, np.ndarray]],
                arch: str, use_tam: bool = True,
-               include_bn1d: bool = False) -> None:
+               include_bn1d: bool = False, depths=(2, 2, 18, 2)) -> None:
     """Write stats in the reference's object-array layout
     (basics.py:306-307) so files interoperate both ways.  With
     ``include_bn1d`` the TANet ordering includes the TAM BatchNorm1d
     layers (the temporal stat types' candidate set, basics.py:231-238)."""
-    layers = (tanet_norm_layers(use_tam) if arch == "tanet" else swin_norm_layers())
+    layers = (tanet_norm_layers(use_tam) if arch == "tanet"
+              else swin_norm_layers(depths=depths))
     means, variances = [], []
     for name, kind in layers:
         if arch == "tanet" and kind != "bn2d" and not include_bn1d:
