@@ -17,11 +17,14 @@ Modes (env vars; the default prints the driver's headline metric):
   BENCH_PROFILE=<dir>         capture a jax.profiler trace of the timed
                               loop into <dir>
 
-The reference repo publishes no numbers (BASELINE.md); the comparison
-constant below is a documented estimate of the reference's per-video
-latency on its single-GPU setup (~470 GFLOPs/step at typical fp32
-utilization plus per-layer Python hook overhead).  vs_baseline > 1 means
-faster than that estimate.
+The headline numbers are **measured**: ms/video, the step's FLOP count
+from XLA's own cost analysis, achieved TFLOP/s, and the fraction of the
+chip's bf16 peak (roofline).  ``vs_baseline`` is kept for the driver but
+is an ESTIMATE: the reference repo publishes no numbers (BASELINE.md)
+and this environment has no GPU to measure it on; the constant below is
+a documented guess at the reference's per-video latency on its
+single-GPU setup (~470 GFLOPs/step at typical fp32 utilization plus
+per-layer Python hook overhead).
 """
 
 import dataclasses
@@ -33,6 +36,7 @@ import numpy as np
 
 ASSUMED_REFERENCE_MS_PER_VIDEO = 250.0  # est. reference (single V100-class GPU)
 ASSUMED_REFERENCE_SWIN_MS_PER_VIDEO = 400.0  # Swin-B step is ~2.3x TANet FLOPs
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak (public spec)
 
 N_WARMUP = 5
 N_VIDEOS = 64   # tunnel dispatch adds +-1-4 ms of noise; average it down
@@ -195,12 +199,37 @@ def main():
             ctx.__exit__(None, None, None)
         ms_per_video = 1000.0 * elapsed / N_VIDEOS
 
-    print(json.dumps({
+    # measured efficiency: the jitted step's FLOPs from XLA's own cost
+    # analysis (flops of the compiled adapt+eval executable), divided by
+    # the measured time, against the chip's bf16 peak
+    step_tflop = None
+    try:
+        lowered = engine._adapt_eval.lower(
+            state, views_pool[0] if not BENCH_E2E else views,
+            clips_pool[0] if not BENCH_E2E else clip,
+            labels if not BENCH_E2E else label, rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_tflop = float(cost.get("flops", 0.0)) / 1e12
+    except Exception:
+        pass
+
+    out = {
         "metric": metric,
         "value": round(ms_per_video, 3),
         "unit": "ms/video",
+        # labeled estimate — no published/measurable reference number
+        # exists in this environment (see module docstring)
         "vs_baseline": round(assumed / ms_per_video, 3),
-    }))
+    }
+    if step_tflop:
+        achieved = step_tflop / (ms_per_video / 1000.0)
+        out["step_tflop"] = round(step_tflop, 4)
+        out["achieved_tflops"] = round(achieved, 2)
+        out["pct_bf16_roofline"] = round(100.0 * achieved / PEAK_BF16_TFLOPS, 2)
+        out["vs_baseline_is_estimate"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

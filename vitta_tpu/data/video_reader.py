@@ -201,22 +201,34 @@ class SyntheticVideoSource(VideoSource):
         return self.frames_per_video // 2 + s % self.frames_per_video
 
     def get_batch(self, path: str, indices: np.ndarray) -> np.ndarray:
+        # The pattern is separable (base = cos(y') + sin(x'), and a roll
+        # of the 2D base equals a roll of the corresponding 1D vector),
+        # so each channel is an outer sum of two 1-D vectors: per-frame
+        # cost drops to a few cache-resident (H, W) passes.  Values are
+        # bit-identical to the original per-pixel formulation.  Synthetic
+        # "decode" must stay far cheaper than the real preprocessing it
+        # feeds, or host-pipeline benchmarks measure the fixture
+        # (round-2 PERF.md's 74-89 ms/video was ~70% this loop).
         s = self._seed(path)
         n = self.num_frames(path)
         idx = np.minimum(np.asarray(indices), n - 1)
         h, w = self.height, self.width
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        xs = np.arange(w, dtype=np.float32) / (8 + s % 13)
+        ys = np.arange(h, dtype=np.float32) / (11 + s % 7)
         out = np.empty((len(idx), h, w, 3), np.uint8)
+        scratch = np.empty((h, w), np.float32)
         for i, t in enumerate(idx):
             phase = 2 * np.pi * (float(t) / max(n, 1))
-            base = (np.sin(xx / (8 + s % 13) + phase)
-                    + np.cos(yy / (11 + s % 7) - phase))
-            rgb = np.stack([
-                127 + 60 * base,
-                127 + 60 * np.roll(base, s % 16, axis=0),
-                127 + 60 * np.roll(base, s % 9, axis=1),
-            ], axis=-1)
-            out[i] = np.clip(rgb, 0, 255).astype(np.uint8)
+            sx = np.sin(xs + phase)
+            cy = np.cos(ys - phase)
+            cy_r = np.roll(cy, s % 16)
+            sx_r = np.roll(sx, s % 9)
+            for ch, (a, b) in enumerate(((cy, sx), (cy_r, sx), (cy, sx_r))):
+                f = np.add(a[:, None], b[None, :], out=scratch)
+                f *= 60.0
+                f += 127.0
+                np.clip(f, 0, 255, out=f)
+                out[i, :, :, ch] = f
         return out
 
 
