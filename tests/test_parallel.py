@@ -75,6 +75,40 @@ def test_parallel_streams_match_sequential(setup):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_multiple_streams_per_chip_match_sequential(setup):
+    """streams_per_chip > 1: 4 streams on a 2-device mesh (2 vmapped per
+    device inside the shard_map blocks) must match sequential
+    single-stream runs — the packing mode of the parallel sweep
+    (cli/drivers.py, VERDICT round-2 item 6)."""
+    cfg, model, variables, src = setup
+    S4 = 4
+    assert len(jax.devices()) >= 2
+    engine = VittaEngine(model, cfg, variables, src, donate=False)
+    mesh = make_mesh(2, ("stream",))        # 2 devices x 2 streams each
+    spe = StreamParallelEngine(engine, mesh, n_streams=S4)
+
+    rng = np.random.default_rng(5)
+    views = rng.normal(size=(S4, V, T, HW, HW, 3)).astype(np.float32)
+    clips = rng.normal(size=(S4, 1, T, HW, HW, 3)).astype(np.float32)
+    labels = np.asarray([[0], [1], [2], [3]], np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(11), S4)
+
+    state = spe.init_state()
+    state, m = spe.adapt_eval_step(
+        state, spe.shard_batch(views), spe.shard_batch(clips),
+        spe.shard_batch(labels), keys)
+    assert m.loss_reg.shape == (S4,)
+
+    for si in range(S4):
+        st = engine.init_state()
+        _st, ms = engine.adapt_eval_step(
+            st, jnp.asarray(views[si]), jnp.asarray(clips[si]),
+            jnp.asarray(labels[si]), keys[si])
+        np.testing.assert_allclose(float(m.loss_reg[si]), float(ms.loss_reg),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(m.top1[si]), float(ms.top1))
+
+
 def test_state_is_sharded_over_mesh(setup):
     cfg, model, variables, src = setup
     engine = VittaEngine(model, cfg, variables, src, donate=False)

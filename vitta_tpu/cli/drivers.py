@@ -77,14 +77,22 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
     n_dev = min(len(jax.devices()),
                 cfg.runtime.n_parallel_streams if cfg.runtime.n_parallel_streams > 1
                 else len(jax.devices()))
-    # streams are sharded over the mesh: run in groups of <= n_dev, with
-    # the remainder group on a correspondingly smaller mesh (no padded
-    # duplicate streams; per-group state is fresh inside
-    # run_parallel_streams)
+    # streams are sharded over the mesh: run in groups of <=
+    # n_dev * streams_per_chip.  With streams_per_chip > 1 each device
+    # vmaps several streams (batched per-stream weights), so e.g. the
+    # 12-corruption sweep runs as one group of 12 on 6 chips at 2/chip
+    # instead of an 8+4 split — gate the setting on multistream_bench.
+    # No padded duplicate streams: the per-group device count is the
+    # largest that divides the group evenly.
+    spc = max(1, cfg.runtime.streams_per_chip)
+    group_cap = n_dev * spc
     accs = []
-    for g0 in range(0, len(datasets), n_dev):
-        group = datasets[g0:g0 + n_dev]
-        mesh = make_mesh(len(group), ("stream",))
+    for g0 in range(0, len(datasets), group_cap):
+        group = datasets[g0:g0 + group_cap]
+        d = min(n_dev, (len(group) + spc - 1) // spc)
+        while len(group) % d:
+            d -= 1
+        mesh = make_mesh(d, ("stream",))
         got, _state = run_parallel_streams(engine, mesh, group,
                                            seed=cfg.runtime.seed, logger=logger)
         accs.extend(got)

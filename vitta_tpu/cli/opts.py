@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", type=str2bool, default=True)
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--n_parallel_streams", type=int, default=1)
+    p.add_argument("--streams_per_chip", type=int, default=1,
+                   help="corruption streams vmapped per chip in the "
+                        "parallel sweep (gate on multistream_bench)")
     p.add_argument("--corruptions", nargs="+", default=None,
                    help="subset of corruption names for the sweep drivers "
                         "(default: all 12, reference tta_tanet_ucf101.py:9-11)")
@@ -165,7 +168,8 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
         base.runtime, result_dir=args.result_dir, baseline=args.baseline,
         t3a_filter_k=args.t3a_filter_k, verbose=args.verbose,
         print_freq=args.print_freq, seed=args.seed,
-        n_parallel_streams=args.n_parallel_streams)
+        n_parallel_streams=args.n_parallel_streams,
+        streams_per_chip=args.streams_per_chip)
     return VittaConfig(data=data, model=model, optim=optim, tta=tta,
                        runtime=runtime)
 

@@ -205,6 +205,11 @@ class RuntimeConfig:
     # sharded over the device mesh (the reference is single-GPU,
     # DataParallel-wrapped: corpus/main_eval.py:61-65).
     n_parallel_streams: int = 1
+    # streams vmapped per chip within the shard_map blocks (>1 packs the
+    # 12-corruption sweep onto fewer/fuller chips, e.g. 12 streams on 6
+    # chips at 2/chip in ONE pass instead of an 8+4 split; gate on the
+    # multistream_bench measurement for the model at hand)
+    streams_per_chip: int = 1
     mesh_axis_name: str = "stream"
     profile_dir: str = ""
 
