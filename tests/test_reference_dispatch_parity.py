@@ -317,7 +317,7 @@ def test_swin_tta_standard_dispatch_parity(basics, monkeypatch,
         num_heads=SW_HEADS, window_size=SW_WIN))
     tm.eval()
     variables = convert_swin_checkpoint(tm.model.state_dict(), K,
-                                        depths=SW_DEPTHS)
+                                        depths=SW_DEPTHS, window_size=SW_WIN)
     jm = Recognizer3D(num_classes=K, patch_size=(2, 4, 4), embed_dim=SW_ED,
                       depths=SW_DEPTHS, num_heads=SW_HEADS,
                       window_size=SW_WIN, drop_path_rate=0.0,

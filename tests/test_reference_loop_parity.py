@@ -370,7 +370,8 @@ def swin_rig():
                            depths=SW_DEPTHS, num_heads=SW_HEADS,
                            window_size=SW_WIN)
     tm.eval()
-    variables = convert_swin_checkpoint(tm.state_dict(), K, depths=SW_DEPTHS)
+    variables = convert_swin_checkpoint(tm.state_dict(), K, depths=SW_DEPTHS,
+                                        window_size=SW_WIN)
     jm = Recognizer3D(num_classes=K, patch_size=(2, 4, 4), embed_dim=SW_ED,
                       depths=SW_DEPTHS, num_heads=SW_HEADS,
                       window_size=SW_WIN, drop_path_rate=0.0,

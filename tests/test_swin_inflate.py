@@ -44,15 +44,16 @@ def _fake_2d_state_dict():
 def test_inflate_2d_swin_runs_as_video_swin():
     variables = inflate_swin2d_checkpoint(
         _fake_2d_state_dict(), num_classes=K, patch_t=2, window_t=WINDOW[0],
-        depths=DEPTHS)
+        depths=DEPTHS, window_hw=WINDOW[1:])
     # temporal replication of the patch embed preserves total response
     kern = variables["params"]["backbone"]["patch_embed_proj"]["kernel"]
     assert kern.shape == (2, 4, 4, 3, EMBED)
     np.testing.assert_allclose(np.asarray(kern).sum(0) * 2 / 2,
                                np.asarray(kern[0]) * 2, rtol=1e-6)
-    # rpb table tiled to (2wd-1) * 25 rows
+    # rpb table tiled (2wd-1)x along the temporal-offset axis, carried 4D
     table = variables["params"]["backbone"]["layers_0"]["blocks_0"]["attn"]["rpb_table"]
-    assert table.shape == ((2 * WINDOW[0] - 1) * 25, HEADS[0])
+    assert table.shape == (2 * WINDOW[0] - 1, 5, 5, HEADS[0])
+    np.testing.assert_allclose(np.asarray(table[0]), np.asarray(table[1]))
 
     model = Recognizer3D(num_classes=K, patch_size=(2, 4, 4),
                          window_size=WINDOW, embed_dim=EMBED, depths=DEPTHS,

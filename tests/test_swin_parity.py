@@ -32,7 +32,8 @@ def models():
             if hasattr(m, "relative_position_bias_table"):
                 m.relative_position_bias_table.normal_(0, 0.5)
     tm.eval()
-    variables = convert_swin_checkpoint(tm.state_dict(), K, depths=DEPTHS)
+    variables = convert_swin_checkpoint(tm.state_dict(), K, depths=DEPTHS,
+                                        window_size=WINDOW)
     jm = Recognizer3D(num_classes=K, patch_size=PATCH, window_size=WINDOW,
                       embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS,
                       drop_path_rate=0.0)
@@ -112,5 +113,6 @@ def test_factored_relative_position_bias_matches_gather():
         n = wd * wh * ww
         idx = relative_position_index(window)
         want = np.asarray(table)[np.asarray(idx).reshape(-1)].reshape(n, n, nh)
-        got = np.asarray(relative_position_bias(table, window))   # (nh, N, N)
+        t4 = table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh)
+        got = np.asarray(relative_position_bias(t4, window))      # (nh, N, N)
         np.testing.assert_array_equal(got, want.transpose(2, 0, 1))

@@ -47,7 +47,8 @@ def load_variables(cfg: VittaConfig, model, seed: int = 0):
             return convert_tanet_checkpoint(sd, cfg.model.num_classes)
         if cfg.model.arch == "videoswintransformer":
             return convert_swin_checkpoint(sd, cfg.model.num_classes,
-                                           depths=cfg.model.depths)
+                                           depths=cfg.model.depths,
+                                           window_size=cfg.model.window_size)
         raise NotImplementedError(cfg.model.arch)
     import jax
     import jax.numpy as jnp

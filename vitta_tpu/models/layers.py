@@ -209,8 +209,12 @@ class LayerNorm(nn.Module):
         xf = x.astype(jnp.float32)
         if self.tap:
             _sow_typed_stats(self, xf, self.stat_types, 0, input_side=True)
+        # one-pass E[x^2]-E[x]^2 in f32: normalized-scale activations make
+        # cancellation a non-issue, and one pass saves a full activation
+        # read per LN (Swin-B has 50 of them on (B, T, H, W, C) tensors)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = mean_sq - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         y = y.astype(x.dtype)
         if self.tap:

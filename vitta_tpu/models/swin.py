@@ -99,8 +99,8 @@ def _axis_onehot(size: int) -> np.ndarray:
     return oh
 
 
-def relative_position_bias(table, window_size: Tuple[int, int, int]):
-    """(N, N, nh) bias from the (2wd-1)(2wh-1)(2ww-1) x nh table.
+def relative_position_bias(t4, window_size: Tuple[int, int, int]):
+    """(nh, N, N) bias from the (2wd-1, 2wh-1, 2ww-1, nh) table.
 
     The obvious formulation — ``table[relative_position_index]`` — is a
     153k-row gather whose backward is a scatter-add into 2.5k rows; on
@@ -109,20 +109,24 @@ def relative_position_bias(table, window_size: Tuple[int, int, int]):
     separable structure (idx = d_t·s_h·s_w + d_h·s_w + d_w,
     swin_transformer.py:109-128), so the lookup factors into three tiny
     constant one-hot contractions — exact, MXU-friendly matmuls whose
-    transposes are matmuls too (no scatter anywhere)."""
+    transposes are matmuls too (no scatter anywhere).
+
+    The table param is CARRIED 4D (not the reference's flat (R, nh)):
+    reshaping the flat param here forced a layout boundary that cost
+    0.24 ms per occurrence x ~90 occurrences/step in relayout+convert
+    ops (round-3 trace); with the param already axis-split, XLA assigns
+    it the einsum's preferred layout outright.  Stays f32 regardless of
+    compute dtype: a bf16 variant was measured SLOWER (108.7 vs 93.5
+    ms/video Swin-B bf16) — the packed-pair bf16 layout makes XLA's 7D
+    reorder of this product more expensive than the f32 one."""
     wd, wh, ww = window_size
-    nh = table.shape[-1]
-    t4 = table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh)
+    nh = t4.shape[-1]
     a = jnp.asarray(_axis_onehot(wd))
     b = jnp.asarray(_axis_onehot(wh))
     c = jnp.asarray(_axis_onehot(ww))
     x = jnp.einsum("pqa,abch->pqbch", a, t4)
     x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
-    # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly.  Stays
-    # f32 regardless of compute dtype: a bf16 variant was measured
-    # SLOWER (108.7 vs 93.5 ms/video Swin-B bf16) — the packed-pair bf16
-    # layout makes XLA's 7D reorder of this product more expensive than
-    # the f32 one.
+    # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly
     x = jnp.einsum("tuc,pqrsch->hprtqsu", c, x)
     n = wd * wh * ww
     return x.reshape(nh, n, n)
@@ -170,9 +174,11 @@ class WindowAttention3D(nn.Module):
         nh = self.num_heads
         hd = c // nh
         wd, wh, ww = self.window_size
+        # carried 4D (axis-split) — see relative_position_bias; converters
+        # reshape the reference's flat (R, nh) tables on load
         table = self.param(
             "rpb_table", nn.initializers.truncated_normal(0.02),
-            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), nh))
+            (2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh))
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
@@ -186,7 +192,8 @@ class WindowAttention3D(nn.Module):
             # (tiny inputs only; swin_transformer.py:138-147)
             idx = relative_position_index(tuple(self.window_size))[:n, :n]
             bias_hqk = jnp.transpose(
-                table[idx.reshape(-1)].reshape(n, n, nh), (2, 0, 1))
+                table.reshape(-1, nh)[idx.reshape(-1)].reshape(n, n, nh),
+                (2, 0, 1))
         # fused softmax(qk^T + bias [+ mask])v — one VMEM-resident Pallas
         # problem per (head, window) on TPU, jnp einsums elsewhere
         # (ops/pallas_attention.py); the f32 (B_, nh, N, N) logit tensor

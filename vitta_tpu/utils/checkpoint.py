@@ -160,7 +160,8 @@ def swin_norm_layers(depths=(2, 2, 18, 2)) -> List[Tuple[str, str]]:
 
 
 def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
-                            depths=(2, 2, 18, 2)) -> dict:
+                            depths=(2, 2, 18, 2),
+                            window_size=(8, 7, 7)) -> dict:
     """Convert a Video Swin (mmaction-style) torch checkpoint to flax
     variables for :class:`vitta_tpu.models.swin.Recognizer3D`.
 
@@ -168,12 +169,15 @@ def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
     corpus/main_eval.py:55-65: ``backbone.patch_embed.proj``,
     ``backbone.layers.{i}.blocks.{j}.{norm1,attn.qkv,attn.proj,norm2,
     mlp.fc1,mlp.fc2}``, ``backbone.layers.{i}.downsample.{norm,reduction}``,
-    ``backbone.norm``, ``cls_head.fc_cls``.
+    ``backbone.norm``, ``cls_head.fc_cls``.  The flat ((2wd-1)(2wh-1)
+    (2ww-1), nh) bias tables are reshaped to the 4D axis-split form the
+    model carries (models/swin.py:relative_position_bias).
     """
     if "state_dict" in sd and isinstance(sd["state_dict"], dict):
         sd = sd["state_dict"]
     sd = _to_numpy(strip_module_prefix(sd))
     params: dict = {}
+    wd, wh, ww = window_size
 
     def ln(flax_path, torch_prefix):
         _set(params, flax_path + ("scale",), sd[torch_prefix + ".weight"])
@@ -201,7 +205,8 @@ def convert_swin_checkpoint(sd, num_classes: Optional[int] = None,
             _set(params, ap + ("proj", "kernel"), sd[f"{tb}.attn.proj.weight"].T)
             _set(params, ap + ("proj", "bias"), sd[f"{tb}.attn.proj.bias"])
             _set(params, ap + ("rpb_table",),
-                 sd[f"{tb}.attn.relative_position_bias_table"])
+                 sd[f"{tb}.attn.relative_position_bias_table"].reshape(
+                     2 * wd - 1, 2 * wh - 1, 2 * ww - 1, -1))
             _set(params, bp + ("mlp", "fc1", "kernel"), sd[f"{tb}.mlp.fc1.weight"].T)
             _set(params, bp + ("mlp", "fc1", "bias"), sd[f"{tb}.mlp.fc1.bias"])
             _set(params, bp + ("mlp", "fc2", "kernel"), sd[f"{tb}.mlp.fc2.weight"].T)
@@ -268,7 +273,8 @@ def convert_videomae_checkpoint(sd, num_classes: Optional[int] = None,
 
 def inflate_swin2d_checkpoint(sd, num_classes: Optional[int] = None,
                               patch_t: int = 2, window_t: int = 8,
-                              depths=(2, 2, 18, 2)) -> dict:
+                              depths=(2, 2, 18, 2),
+                              window_hw=(7, 7)) -> dict:
     """Inflate an *image* Swin checkpoint to Video Swin variables —
     counterpart of ``SwinTransformer3D.inflate_weights``
     (swin_transformer.py:563-614):
@@ -300,7 +306,8 @@ def inflate_swin2d_checkpoint(sd, num_classes: Optional[int] = None,
         out["cls_head.fc_cls.weight"] = rng.normal(
             0, 0.01, (num_classes, feat)).astype(np.float32)
         out["cls_head.fc_cls.bias"] = np.zeros(num_classes, np.float32)
-    return convert_swin_checkpoint(out, num_classes, depths=depths)
+    return convert_swin_checkpoint(out, num_classes, depths=depths,
+                                   window_size=(window_t, *window_hw))
 
 
 def load_reference_stats(mean_file: str, var_file: str, arch: str,
