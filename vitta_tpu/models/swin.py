@@ -99,7 +99,8 @@ def _axis_onehot(size: int) -> np.ndarray:
     return oh
 
 
-def relative_position_bias(t4, window_size: Tuple[int, int, int]):
+def relative_position_bias(t4, window_size: Tuple[int, int, int],
+                           use_pallas: bool = None, interpret: bool = False):
     """(nh, N, N) bias from the (2wd-1, 2wh-1, 2ww-1, nh) table.
 
     The obvious formulation — ``table[relative_position_index]`` — is a
@@ -118,12 +119,27 @@ def relative_position_bias(t4, window_size: Tuple[int, int, int]):
     it the einsum's preferred layout outright.  Stays f32 regardless of
     compute dtype: a bf16 variant was measured SLOWER (108.7 vs 93.5
     ms/video Swin-B bf16) — the packed-pair bf16 layout makes XLA's 7D
-    reorder of this product more expensive than the f32 one."""
+    reorder of this product more expensive than the f32 one.
+
+    On TPU only the two small (h, w)-axis contractions run in XLA; the
+    d-axis expansion into (nh, N, N) — whose 7D tiled-layout reorder
+    profiled at ~12 ms/step — is assembled by a Pallas kernel with
+    aligned stores (ops/pallas_bias.py)."""
     wd, wh, ww = window_size
     nh = t4.shape[-1]
-    a = jnp.asarray(_axis_onehot(wd))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     b = jnp.asarray(_axis_onehot(wh))
     c = jnp.asarray(_axis_onehot(ww))
+    if use_pallas or interpret:
+        from vitta_tpu.ops.pallas_bias import expand_bias_pallas
+        hw = wh * ww
+        x = jnp.einsum("rsb,abcn->arscn", b, t4)       # (A, wh, wh, C, nh)
+        v = jnp.einsum("tuc,arscn->nartsu", c, x)      # (nh, A, wh,ww, wh,ww)
+        a_dim = 2 * wd - 1
+        return expand_bias_pallas(v.reshape(nh, a_dim, hw, hw), wd,
+                                  interpret=interpret)
+    a = jnp.asarray(_axis_onehot(wd))
     x = jnp.einsum("pqa,abch->pqbch", a, t4)
     x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
     # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly
