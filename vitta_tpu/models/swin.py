@@ -129,17 +129,12 @@ def relative_position_bias(t4, window_size: Tuple[int, int, int],
     nh = t4.shape[-1]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    b = jnp.asarray(_axis_onehot(wh))
-    c = jnp.asarray(_axis_onehot(ww))
     if use_pallas or interpret:
         from vitta_tpu.ops.pallas_bias import expand_bias_pallas
-        hw = wh * ww
-        x = jnp.einsum("rsb,abcn->arscn", b, t4)       # (A, wh, wh, C, nh)
-        v = jnp.einsum("tuc,arscn->nartsu", c, x)      # (nh, A, wh,ww, wh,ww)
-        a_dim = 2 * wd - 1
-        return expand_bias_pallas(v.reshape(nh, a_dim, hw, hw), wd,
-                                  interpret=interpret)
+        return expand_bias_pallas(t4, (wd, wh, ww), interpret=interpret)
     a = jnp.asarray(_axis_onehot(wd))
+    b = jnp.asarray(_axis_onehot(wh))
+    c = jnp.asarray(_axis_onehot(ww))
     x = jnp.einsum("pqa,abch->pqbch", a, t4)
     x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
     # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly
