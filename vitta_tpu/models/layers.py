@@ -206,17 +206,28 @@ class LayerNorm(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        xf = x.astype(jnp.float32)
         if self.tap:
-            _sow_typed_stats(self, xf, self.stat_types, 0, input_side=True)
-        # one-pass E[x^2]-E[x]^2 in f32: normalized-scale activations make
-        # cancellation a non-issue, and one pass saves a full activation
-        # read per LN (Swin-B has 50 of them on (B, T, H, W, C) tensors)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        var = mean_sq - jnp.square(mean)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        y = y.astype(x.dtype)
+            _sow_typed_stats(self, x.astype(jnp.float32), self.stat_types, 0,
+                             input_side=True)
+        c = x.shape[-1]
+        rows = x.size // c
+        if jax.default_backend() == "tpu" and rows % 8 == 0 and c % 128 == 0:
+            # fused one-read-one-write kernel (ops/pallas_ln.py): XLA's
+            # separate lane-axis reductions + normalize profiled 17x off
+            # HBM bandwidth across Swin-B's ~50 LayerNorms
+            from vitta_tpu.ops.pallas_ln import layer_norm_pallas
+            y = layer_norm_pallas(x.reshape(rows, c), scale, bias,
+                                  self.eps).reshape(x.shape)
+        else:
+            xf = x.astype(jnp.float32)
+            # one-pass E[x^2]-E[x]^2 in f32: normalized-scale activations
+            # make cancellation a non-issue, and one pass saves a full
+            # activation read per LN
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            var = mean_sq - jnp.square(mean)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+            y = y.astype(x.dtype)
         if self.tap:
             _sow_typed_stats(self, y.astype(jnp.float32), self.stat_types, 0)
         return y
