@@ -66,6 +66,70 @@ def test_bfloat16_forward():
                                rtol=3e-2, atol=3e-2)
 
 
+def _pack(q, k, v):
+    """(B_, N, nh, hd) triple -> packed (B_, N, 3C), lanes (3, nh, hd)."""
+    b_, n, nh, hd = q.shape
+    return jnp.concatenate(
+        [t.reshape(b_, n, nh * hd) for t in (q, k, v)], axis=-1)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_forward_matches_reference(with_mask):
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
+
+    q, k, v, bias, mask = _inputs(with_mask=with_mask)
+    b_, n, nh, hd = q.shape
+    scale = hd ** -0.5
+    ref = attention_reference(q, k, v, bias, mask, scale)
+    got = fused_window_attention_packed(_pack(q, k, v), bias, mask, scale,
+                                        nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref.reshape(b_, n, nh * hd)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_gradients_match_reference(with_mask):
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
+
+    q, k, v, bias, mask = _inputs(with_mask=with_mask)
+    b_, n, nh, hd = q.shape
+    scale = hd ** -0.5
+
+    def ref_loss(qkv, b):
+        q5 = qkv.reshape(b_, n, 3, nh, hd)
+        out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                  b, mask, scale).reshape(b_, n, nh * hd)
+        return jnp.sum(out * jnp.sin(out))
+
+    def pal_loss(qkv, b):
+        out = fused_window_attention_packed(qkv, b, mask, scale, nh,
+                                            interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    qkv = _pack(q, k, v).reshape(b_, n, 3, nh * hd).reshape(b_, n, -1)
+    ref = jax.grad(ref_loss, argnums=(0, 1))(qkv, bias)
+    pal = jax.grad(pal_loss, argnums=(0, 1))(qkv, bias)
+    for g_ref, g_pal, name in zip(ref, pal, ("dqkv", "dbias")):
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_packed_bfloat16_forward():
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
+
+    q, k, v, bias, mask = _inputs(dtype=jnp.bfloat16)
+    b_, n, nh, hd = q.shape
+    scale = hd ** -0.5
+    ref = attention_reference(q, k, v, bias, mask, scale)
+    got = fused_window_attention_packed(_pack(q, k, v), bias, mask, scale,
+                                        nh, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32).reshape(b_, n, -1),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_swin_block_uses_fused_path_equivalently():
     """Full WindowAttention3D module: interpret-pallas vs default (jnp)
     path produce the same output and parameter gradients."""
@@ -81,13 +145,13 @@ def test_swin_block_uses_fused_path_equivalently():
         return jnp.sum(jnp.square(mod.apply(p, x)))
 
     g_ref = jax.grad(loss)(params)
-    orig = pa.fused_window_attention
+    orig = pa.fused_window_attention_packed
     try:
-        pa.fused_window_attention = lambda *a, **kw: orig(
-            *a, **{**kw, "interpret": True, "use_pallas": False})
+        pa.fused_window_attention_packed = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True})
         g_pal = jax.grad(loss)(params)
     finally:
-        pa.fused_window_attention = orig
+        pa.fused_window_attention_packed = orig
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=2e-4, atol=2e-4),

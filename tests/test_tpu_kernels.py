@@ -92,3 +92,97 @@ def test_window_attention_kernel_on_chip(with_mask):
         d = jnp.abs(a - b)
         assert float(jnp.max(d)) / scale_g < 2e-2
         assert float(jnp.mean(d)) / scale_g < 2e-4
+
+
+@pytest.mark.parametrize("with_mask,nh,dtype",
+                         [(False, 4, jnp.float32), (True, 16, jnp.bfloat16)])
+def test_packed_window_attention_kernel_on_chip(with_mask, nh, dtype):
+    from vitta_tpu.ops.pallas_attention import (
+        attention_reference, fused_window_attention_packed)
+
+    b_, n, hd, nw = 8, 392, 32, 4
+    c = nh * hd
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    qkv = jax.random.normal(ks[0], (b_, n, 3 * c), dtype)
+    bias = jax.random.normal(ks[1], (nh, n, n), jnp.float32)
+    mask = None
+    if with_mask:
+        raw = jax.random.bernoulli(ks[2], 0.3, (nw, n, n))
+        mask = jnp.where(raw, -100.0, 0.0).astype(jnp.float32)
+    scale = hd ** -0.5
+
+    def ref_impl(qkv_, bias_):
+        q5 = qkv_.reshape(b_, n, 3, nh, hd)
+        return attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                   bias_, mask, scale).reshape(b_, n, c)
+
+    def loss(impl, qkv_, bias_):
+        o = impl(qkv_, bias_).astype(jnp.float32)
+        return jnp.sum(o * jnp.sin(o))
+
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(ref_impl, *s), argnums=(0, 1))(*a))(qkv, bias)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(
+            lambda *w: fused_window_attention_packed(
+                *w, mask, scale, nh, use_pallas=True), *s),
+        argnums=(0, 1))(*a))(qkv, bias)
+    rtol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=rtol)
+    # same loose-max/tight-mean bounds as above: the jnp side's einsums
+    # run at XLA default (bf16-pass) precision
+    for a, b in zip(ref[1], pal[1]):
+        scale_g = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)))), 1e-6)
+        d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+        assert float(jnp.max(d)) / scale_g < (2e-2 if dtype == jnp.float32
+                                              else 6e-2)
+        assert float(jnp.mean(d)) / scale_g < (2e-4 if dtype == jnp.float32
+                                               else 2e-3)
+
+
+@pytest.mark.parametrize("window,nh", [((8, 7, 7), 16), ((2, 4, 4), 2)])
+def test_bias_expansion_kernel_on_chip(window, nh):
+    from vitta_tpu.models.swin import relative_position_bias
+
+    wd, wh, ww = window
+    t4 = jax.random.normal(jax.random.PRNGKey(3),
+                           (2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh))
+
+    def loss(use_pallas, t):
+        out = relative_position_bias(t, window, use_pallas=use_pallas)
+        return jnp.sum(out * jnp.sin(out))
+
+    ref = jax.jit(jax.value_and_grad(lambda t: loss(False, t)))(t4)
+    pal = jax.jit(jax.value_and_grad(lambda t: loss(True, t)))(t4)
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal[1]), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_layer_norm_kernel_on_chip():
+    from vitta_tpu.ops.pallas_ln import layer_norm_pallas
+
+    r, c = 1024, 512
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    x2 = jax.random.normal(ks[0], (r, c)) * 2 + 1
+    g = jax.random.normal(ks[1], (c,))
+    b = jax.random.normal(ks[2], (c,))
+    ct = jax.random.normal(ks[3], (r, c))
+
+    def ref_ln(x_, g_, b_):
+        mu = jnp.mean(x_, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x_), -1, keepdims=True) - jnp.square(mu)
+        return (x_ - mu) * jax.lax.rsqrt(var + 1e-5) * g_ + b_
+
+    def loss(impl, x_, g_, b_):
+        return jnp.sum(impl(x_, g_, b_) * ct)
+
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(ref_ln, *s), argnums=(0, 1, 2))(*a))(x2, g, b)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(lambda *w: layer_norm_pallas(*w, 1e-5), *s),
+        argnums=(0, 1, 2))(*a))(x2, g, b)
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=1e-4)
+    for a, b_g, name in zip(ref[1], pal[1], ("dx", "dg", "db")):
+        scale_g = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        assert float(jnp.max(jnp.abs(a - b_g))) / scale_g < 1e-3, name

@@ -135,10 +135,14 @@ def relative_position_bias(t4, window_size: Tuple[int, int, int],
     a = jnp.asarray(_axis_onehot(wd))
     b = jnp.asarray(_axis_onehot(wh))
     c = jnp.asarray(_axis_onehot(ww))
-    x = jnp.einsum("pqa,abch->pqbch", a, t4)
-    x = jnp.einsum("rsb,pqbch->pqrsch", b, x)
+    # HIGHEST keeps the (tiny) one-hot contractions — and, crucially,
+    # their VJPs on the large-magnitude bias cotangent — exact f32 on
+    # TPU instead of bf16-pass MXU rounding
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("pqa,abch->pqbch", a, t4, precision=hi)
+    x = jnp.einsum("rsb,pqbch->pqrsch", b, x, precision=hi)
     # final contraction emits (h, qt,qh,qw, kt,kh,kw) directly
-    x = jnp.einsum("tuc,pqrsch->hprtqsu", c, x)
+    x = jnp.einsum("tuc,pqrsch->hprtqsu", c, x, precision=hi)
     n = wd * wh * ww
     return x.reshape(nh, n, n)
 
@@ -191,8 +195,6 @@ class WindowAttention3D(nn.Module):
             "rpb_table", nn.initializers.truncated_normal(0.02),
             (2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh))
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B_, N, nh, hd)
         full_n = wd * wh * ww
         if n == full_n:
             bias_hqk = relative_position_bias(table, (wd, wh, ww))
@@ -205,16 +207,17 @@ class WindowAttention3D(nn.Module):
             bias_hqk = jnp.transpose(
                 table.reshape(-1, nh)[idx.reshape(-1)].reshape(n, n, nh),
                 (2, 0, 1))
-        # fused softmax(qk^T + bias [+ mask])v — one VMEM-resident Pallas
-        # problem per (head, window) on TPU, jnp einsums elsewhere
-        # (ops/pallas_attention.py); the f32 (B_, nh, N, N) logit tensor
-        # never reaches HBM on the fused path
-        from vitta_tpu.ops.pallas_attention import fused_window_attention
-        # clamped (tiny-input) windows fall back to the jnp path — Mosaic
-        # rejects the degenerate reduction shapes they produce
-        out = fused_window_attention(q, k, v, bias_hqk, mask, hd ** -0.5,
-                                     use_pallas=None if n == full_n else False)
-        out = out.reshape(b_, n, c)
+        # fused softmax(qk^T + bias [+ mask])v on the PACKED projection —
+        # all heads per window grid step, qkv consumed and the output
+        # emitted in the matmuls' natural layouts, so no transpose chain
+        # surrounds the kernel; the f32 (B_, nh, N, N) logit tensor never
+        # reaches HBM (ops/pallas_attention.py).  Clamped (tiny-input)
+        # windows fall back to the jnp path — Mosaic rejects the
+        # degenerate shapes they produce.
+        from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
+        out = fused_window_attention_packed(
+            qkv, bias_hqk, mask, hd ** -0.5, nh,
+            use_pallas=None if n == full_n else False)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

@@ -58,49 +58,53 @@ def attention_reference(q, k, v, bias, mask, scale):
 
 
 def _logits(qb, kb, bias_b, mask_b, scale):
-    """(N, N) f32 attention logits for one (head, window) problem."""
-    qf = qb[0, 0].astype(jnp.float32) * scale
-    kf = kb[0, 0].astype(jnp.float32)
-    l = jax.lax.dot_general(qf, kf, (((1,), (1,)), ((), ())),
+    """(N, N) f32 attention logits for one (head, window) problem.
+
+    The dot keeps its operands in the *carried* dtype (one MXU pass with
+    f32 accumulation in bf16 mode — upcasting first forces a multi-pass
+    f32 MXU matmul) and applies `scale` to the f32 logits instead of to
+    q (identical math, no pre-dot rounding)."""
+    l = jax.lax.dot_general(qb[0, 0], kb[0, 0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    l = l + bias_b[0].astype(jnp.float32)
+    l = l * scale + bias_b[0].astype(jnp.float32)
     if mask_b is not None:
         l = l + mask_b[0].astype(jnp.float32)
     return l
 
 
-def _softmax(l):
+def _softmax_parts(l):
+    """Unnormalized softmax numerator (f32) and row sums: the divide is
+    folded into the (N, hd)-shaped consumer instead of the (N, N) p."""
     m = jnp.max(l, axis=-1, keepdims=True)
     e = jnp.exp(l - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _fwd_kernel(qb, kb, vb, bias_b, mask_b, o_ref, *, scale):
-    p = _softmax(_logits(qb, kb, bias_b, mask_b, scale))
-    vf = vb[0, 0].astype(jnp.float32)
-    out = jax.lax.dot_general(p, vf, (((1,), (0,)), ((), ())),
+    e, s = _softmax_parts(_logits(qb, kb, bias_b, mask_b, scale))
+    out = jax.lax.dot_general(e.astype(qb.dtype), vb[0, 0],
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = (out / s).astype(o_ref.dtype)
 
 
 def _bwd_kernel(qb, kb, vb, bias_b, mask_b, gb,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
     b = pl.program_id(1)
-    p = _softmax(_logits(qb, kb, bias_b, mask_b, scale))        # (N, N) f32
-    gf = gb[0, 0].astype(jnp.float32)                           # (N, hd)
-    vf = vb[0, 0].astype(jnp.float32)
+    e, s = _softmax_parts(_logits(qb, kb, bias_b, mask_b, scale))
+    p = e / s                                                   # (N, N) f32
+    pc = p.astype(qb.dtype)
     # dv = p^T @ g
-    dv = jax.lax.dot_general(p, gf, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(pc, gb[0, 0], (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     # dp = g @ v^T ; dlogits = p * (dp - rowsum(dp * p))
-    dp = jax.lax.dot_general(gf, vf, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(gb[0, 0], vb[0, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    qf = qb[0, 0].astype(jnp.float32)
-    kf = kb[0, 0].astype(jnp.float32)
-    dq = jax.lax.dot_general(dl, kf, (((1,), (0,)), ((), ())),
+    dlc = dl.astype(qb.dtype)
+    dq = jax.lax.dot_general(dlc, kb[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(dl, qf, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(dlc, qb[0, 0], (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
@@ -222,3 +226,210 @@ def fused_window_attention(q, k, v, bias, mask, scale, *,
                        None if mask is None else mask.astype(jnp.bfloat16),
                        float(scale), interpret)
     return jnp.transpose(out3, (1, 2, 0, 3))          # -> (B_, N, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# Packed single-pass kernel: all heads per window grid step.
+#
+# The head-major layout the (head, window) kernel above consumes costs a
+# transpose chain around every attention (the (B_, N, 3, nh, hd) reshape
+# + per-tensor transposes profiled ~8 ms/step on Swin-B).  This variant
+# reads the qkv projection PACKED as it leaves the matmul — (B_, N, 3C)
+# with lanes ordered (3, nh, hd) — slices each head statically in VMEM,
+# and assembles the output directly in the natural (B_, N, C) layout, so
+# XLA sees no layout change on either side of the kernel.  The bias
+# block (nh, N, N) is revisited across the whole window grid: one DMA
+# per pallas_call instead of one per head.
+# ---------------------------------------------------------------------------
+
+# all-head residency: bias (nh, N, N) f32 + double-buffered qkv/out
+# blocks exceed the default 16 MB scoped-VMEM limit at stage 3 (nh=32)
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _head_slices(blk, h, nh, hd):
+    c = nh * hd
+    q = blk[:, h * hd:(h + 1) * hd]
+    k = blk[:, c + h * hd:c + (h + 1) * hd]
+    v = blk[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+    return q, k, v
+
+
+def _packed_logits(q, k, bias_h, mask_b, scale):
+    l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    l = l * scale + bias_h.astype(jnp.float32)
+    if mask_b is not None:
+        l = l + mask_b[0].astype(jnp.float32)
+    return l
+
+
+def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, scale, nh, hd):
+    blk = qkv_ref[0]                                   # (N, 3C)
+    outs = []
+    for h in range(nh):
+        q, k, v = _head_slices(blk, h, nh, hd)
+        e, s = _softmax_parts(_packed_logits(q, k, bias_ref[h], mask_ref,
+                                             scale))
+        oh = jax.lax.dot_general(e.astype(blk.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        outs.append((oh / s).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
+                       dqkv_ref, dbias_ref, *, scale, nh, hd):
+    b = pl.program_id(0)
+    blk = qkv_ref[0]
+    g = g_ref[0]                                       # (N, C)
+
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dqs, dks, dvs = [], [], []
+    for h in range(nh):
+        q, k, v = _head_slices(blk, h, nh, hd)
+        gh = g[:, h * hd:(h + 1) * hd]
+        e, s = _softmax_parts(_packed_logits(q, k, bias_ref[h], mask_ref,
+                                             scale))
+        p = e / s                                      # (N, N) f32
+        pc = p.astype(blk.dtype)
+        dv = jax.lax.dot_general(pc, gh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += dl
+        dlc = dl.astype(blk.dtype)
+        dq = jax.lax.dot_general(dlc, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dlc, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[0] = jnp.concatenate(dqs + dks + dvs, axis=1)
+
+
+def _packed_specs(n, c3, nh, nw, with_mask):
+    qkv = pl.BlockSpec((1, n, c3), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ins = [qkv, bias]
+    if with_mask:
+        ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
+                                memory_space=pltpu.VMEM))
+    return ins, qkv
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
+def _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=False):
+    b_, n, c3 = qkv.shape
+    hd = c3 // 3 // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    ins, qkv_spec = _packed_specs(n, c3, nh, nw, with_mask)
+    if with_mask:
+        kern = functools.partial(_packed_fwd_kernel, scale=scale, nh=nh,
+                                 hd=hd)
+    else:
+        kern = functools.partial(
+            lambda qr, br, o, **kw: _packed_fwd_kernel(qr, br, None, o, **kw),
+            scale=scale, nh=nh, hd=hd)
+    args = (qkv, bias) + ((mask,) if with_mask else ())
+    out_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c3 // 3), qkv.dtype),
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
+def _packed_attn_bwd(qkv, bias, mask, g, scale, nh, interpret=False):
+    b_, n, c3 = qkv.shape
+    hd = c3 // 3 // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    ins, qkv_spec = _packed_specs(n, c3, nh, nw, with_mask)
+    g_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ins = ins + [g_spec]
+    if with_mask:
+        kern = functools.partial(_packed_bwd_kernel, scale=scale, nh=nh,
+                                 hd=hd)
+    else:
+        kern = functools.partial(
+            lambda qr, br, gr, dq, db, **kw:
+            _packed_bwd_kernel(qr, br, None, gr, dq, db, **kw),
+            scale=scale, nh=nh, hd=hd)
+    args = (qkv, bias) + ((mask,) if with_mask else ()) + (g,)
+    return pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=[qkv_spec, bias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, n, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((nh, n, n), jnp.float32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_attn(qkv, bias, mask, scale, nh, interpret=False):
+    return _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=interpret)
+
+
+def _packed_attn_vjp_fwd(qkv, bias, mask, scale, nh, interpret):
+    out = _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=interpret)
+    return out, (qkv, bias, mask)
+
+
+def _packed_attn_vjp_bwd(scale, nh, interpret, res, g):
+    qkv, bias, mask = res
+    dqkv, dbias = _packed_attn_bwd(qkv, bias, mask, g, scale, nh,
+                                   interpret=interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dbias.astype(bias.dtype), dmask
+
+
+_packed_attn.defvjp(_packed_attn_vjp_fwd, _packed_attn_vjp_bwd)
+
+
+def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
+                                  use_pallas: bool = None,
+                                  interpret: bool = False):
+    """Fused window attention on PACKED qkv.
+
+    qkv: (B_, N, 3C) with lanes ordered (3, nh, hd) — the raw qkv
+    projection output; bias (nh, N, N) f32; mask (nW, N, N) f32 or
+    None.  Returns (B_, N, C) — the natural input layout of the output
+    projection.  Auto mode uses the Pallas kernel on TPU; elsewhere the
+    jnp einsum path on the unpacked tensors (identical math).
+    """
+    b_, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not (use_pallas or interpret):
+        q5 = qkv.reshape(b_, n, 3, nh, hd)
+        out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                  bias, mask, scale)
+        return out.reshape(b_, n, c)
+    return _packed_attn(qkv, bias,
+                        None if mask is None else mask.astype(jnp.bfloat16),
+                        float(scale), nh, interpret)

@@ -125,5 +125,10 @@ def expand_bias_pallas(t4, window_size, *, interpret: bool = False):
     a_dim = 2 * wd - 1
     oh = jnp.asarray(_hw_onehot(wh, ww))               # (hw, hw, BC)
     tf = t4.astype(jnp.float32).reshape(a_dim, -1, nh)  # (A, BC, nh)
-    v = jnp.einsum("pqk,akn->napq", oh, tf)            # (nh, A, hw, hw)
+    # HIGHEST: the selection itself is exact at any precision, but the
+    # einsum's VJP contracts the (large-magnitude) cotangent against the
+    # one-hot — at default TPU precision that rounds the table gradient
+    # to bf16.  The contraction is ~0.2 GFLOP; exactness is free.
+    v = jnp.einsum("pqk,akn->napq", oh, tf,
+                   precision=jax.lax.Precision.HIGHEST)  # (nh, A, hw, hw)
     return _assemble(v, wd, interpret)
