@@ -123,12 +123,20 @@ def expand_bias_pallas(t4, window_size, *, interpret: bool = False):
     wd, wh, ww = window_size
     nh = t4.shape[-1]
     a_dim = 2 * wd - 1
-    oh = jnp.asarray(_hw_onehot(wh, ww))               # (hw, hw, BC)
-    tf = t4.astype(jnp.float32).reshape(a_dim, -1, nh)  # (A, BC, nh)
-    # HIGHEST: the selection itself is exact at any precision, but the
-    # einsum's VJP contracts the (large-magnitude) cotangent against the
-    # one-hot — at default TPU precision that rounds the table gradient
-    # to bf16.  The contraction is ~0.2 GFLOP; exactness is free.
-    v = jnp.einsum("pqk,akn->napq", oh, tf,
-                   precision=jax.lax.Precision.HIGHEST)  # (nh, A, hw, hw)
+    hw = wh * ww
+    oh2 = jnp.asarray(_hw_onehot(wh, ww)).reshape(hw * hw, -1)  # (hw², BC)
+    # (BC, A·nh) so the contraction is one flat 2D matmul with wide,
+    # tile-friendly dims.  The direct "pqk,akn->napq" einsum put the
+    # 49-wide q axis on the lanes — ~6x tile padding — and profiled at
+    # ~4.4 ms/step across Swin-B's 24 blocks once run at HIGHEST.
+    # HIGHEST itself is required: the selection forward is exact at any
+    # precision, but the einsum's VJP contracts the (large-magnitude)
+    # bias cotangent against the one-hot, and at default TPU precision
+    # that rounds the table gradient to bf16.  At ~0.2 GFLOP per block
+    # the 6-pass cost is noise in this layout.
+    tf2 = jnp.transpose(t4.astype(jnp.float32).reshape(a_dim, -1, nh),
+                        (1, 0, 2)).reshape(-1, a_dim * nh)       # (BC, A·nh)
+    flat = jax.lax.dot(oh2, tf2,
+                       precision=jax.lax.Precision.HIGHEST)      # (hw², A·nh)
+    v = jnp.transpose(flat.reshape(hw, hw, a_dim, nh), (3, 2, 0, 1))
     return _assemble(v, wd, interpret)
