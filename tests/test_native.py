@@ -65,3 +65,35 @@ def test_resize_speed_vs_pil(lib_ok):
         np.asarray(Image.fromarray(f).resize((341, 256), Image.BILINEAR))
     t_pil = time.perf_counter() - t0
     print(f"native {t_native*1e3:.1f} ms vs PIL {t_pil*1e3:.1f} ms")
+
+
+@pytest.mark.parametrize("shape,out_size,antialias", [
+    ((240, 320), (256, 341), True),
+    ((480, 640), (256, 341), True),
+    ((240, 320), (256, 341), False),   # cv2-mode 2-tap
+    ((37, 53), (40, 60), True),        # odd geometry
+])
+def test_windowed_resize_bit_identical(lib_ok, shape, out_size, antialias):
+    """resize_bilinear_window == resize-then-crop, bit for bit (the fused
+    eval pipeline must not perturb PIL parity)."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(3, *shape, 3), dtype=np.uint8)
+    oh, ow = out_size
+    full = native.resize_bilinear(frames, oh, ow, antialias)
+    for (y0, x0, wh, ww) in [((oh - 16) // 2, (ow - 16) // 2, 16, 16),
+                             (0, 0, oh, ow), (oh - 8, ow - 8, 8, 8),
+                             (1, 2, oh - 3, ow - 5)]:
+        win = native.resize_bilinear_window(frames, oh, ow, y0, x0, wh, ww,
+                                            antialias)
+        np.testing.assert_array_equal(win, full[:, y0:y0 + wh, x0:x0 + ww])
+
+
+def test_scale_center_crop_fused_matches_unfused(lib_ok):
+    from vitta_tpu.data import transforms
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(4, 240, 320, 3), dtype=np.uint8)
+    got = transforms.scale_center_crop(frames, 64, 56)
+    scaled = native.resize_bilinear(frames, 64, 85)
+    y = int(round((64 - 56) / 2.0))
+    x = int(round((85 - 56) / 2.0))
+    np.testing.assert_array_equal(got, scaled[:, y:y + 56, x:x + 56])

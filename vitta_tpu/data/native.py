@@ -56,6 +56,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.crop_u8.argtypes = [u8p] + [ctypes.c_int] * 8 + [u8p]
+    lib.resize_bilinear_u8_window.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.normalize_f32.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_int,
                                   f32p, f32p, ctypes.c_int]
     _lib = lib
@@ -97,6 +101,30 @@ def resize_bilinear(frames: np.ndarray, out_h: int, out_w: int,
         lib.resize_bilinear_u8_batch(_u8ptr(frames), n, h, w, c,
                                      _u8ptr(out), out_h, out_w,
                                      1 if antialias else 0)
+    return out[0] if single else out
+
+
+def resize_bilinear_window(frames: np.ndarray, out_h: int, out_w: int,
+                           y0: int, x0: int, wh: int, ww: int,
+                           antialias: bool = True) -> np.ndarray:
+    """resize (N,H,W,C) -> (out_h, out_w) then crop (y0, x0, wh, ww) —
+    fused: only the surviving output window is computed (bit-identical
+    to resize-then-crop; csrc resize_bilinear_u8_window)."""
+    lib = get_lib()
+    single = frames.ndim == 3
+    if single:
+        frames = frames[None]
+    frames = np.ascontiguousarray(frames)
+    n, h, w, c = frames.shape
+    if lib is None:
+        full = resize_bilinear(frames, out_h, out_w, antialias)
+        out = np.ascontiguousarray(full[:, y0:y0 + wh, x0:x0 + ww])
+    else:
+        out = np.empty((n, wh, ww, c), np.uint8)
+        lib.resize_bilinear_u8_window(_u8ptr(frames), n, h, w, c,
+                                      _u8ptr(out), out_h, out_w,
+                                      1 if antialias else 0,
+                                      y0, x0, wh, ww)
     return out[0] if single else out
 
 

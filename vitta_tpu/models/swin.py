@@ -237,16 +237,38 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Owns an nn.Dense-shaped param pair (kernel/bias, same names,
+    same init) without running the matmul — the fused MLP kernel
+    consumes the raw arrays.  Checkpoint tree layout is unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class Mlp(nn.Module):
+    """fc1 -> exact GELU -> fc2 (swin_transformer.py:48-65), fused into
+    one Pallas kernel on TPU: the (tokens, 4C) fc1 output stays in VMEM
+    and the backward re-reads saved gelu value/derivative instead of
+    re-deriving erf (ops/pallas_mlp.py)."""
+
     hidden: int
     out: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
+        w2, b2 = _DenseParams(self.out, name="fc2")(self.hidden)
+        from vitta_tpu.ops.pallas_mlp import fused_mlp
+        return fused_mlp(x, w1, b1, w2, b2, dtype=self.dtype)
 
 
 class SwinBlock3D(nn.Module):
@@ -311,11 +333,16 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         b, d, h, w, c = x.shape
         x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-        x0 = x[:, :, 0::2, 0::2]
-        x1 = x[:, :, 1::2, 0::2]
-        x2 = x[:, :, 0::2, 1::2]
-        x3 = x[:, :, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        hp, wp = h + h % 2, w + w % 2
+        # the reference gathers the four parity phases with strided
+        # slices and concatenates (swin_transformer.py:293-299) — whose
+        # VJP scatter-adds on TPU.  The same permutation as a
+        # reshape/transpose pair keeps fwd and bwd as plain relayouts;
+        # channel-block order (j-major, i-minor, then C) matches the
+        # reference's [x0|x1|x2|x3] concat exactly.
+        x = x.reshape(b, d, hp // 2, 2, wp // 2, 2, c)
+        x = jnp.transpose(x, (0, 1, 2, 4, 5, 3, 6))
+        x = x.reshape(b, d, hp // 2, wp // 2, 4 * c)
         x = LayerNorm(4 * c, stat_types=self.stat_types, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)

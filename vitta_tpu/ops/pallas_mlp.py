@@ -1,0 +1,255 @@
+"""Pallas TPU kernel: fused Swin MLP (fc1 -> exact GELU -> fc2).
+
+The reference MLP (swin_transformer.py:48-65) is two Linears around an
+exact (erf) GELU.  Left to XLA, the block costs ~17.7 ms of the 54 ms
+Swin-B adaptation step (round-3 trace) at a uniform ~20% MFU:
+
+* the (M, 4C) fc1 output round-trips HBM between the two matmuls, three
+  times per adaptation step (fwd x2 views + eval);
+* the exact-erf GELU is evaluated inside the matmul fusions — and then
+  *again* in the backward, where XLA additionally saves a u8 predicate
+  tensor for the erf select;
+* the backward runs four more (M, 4C)-wide fusions, each re-reading the
+  saved activations.
+
+This kernel runs the whole block per token tile in VMEM: the fc1 output
+``h`` never reaches HBM.  The training forward additionally writes the
+two tensors the backward actually needs — ``a = gelu(h)`` and
+``s = gelu'(h)`` — so the backward is four MXU matmuls and one
+elementwise multiply, with **no transcendentals at all** (the erf/exp
+live only in the one forward pass).  Weight/bias gradients accumulate
+in f32 VMEM across the sequential token grid (revisited output blocks,
+same pattern as pallas_attention.py's bias cotangent).
+
+The eval forward (not under grad) writes only the output tile: the
+custom-VJP primal is the no-residual variant, so inference pays zero
+extra bandwidth.
+
+Falls back to the exact flax-Dense math off-TPU (models/swin.py:Mlp
+carried the params; the tree layout — mlp/fc{1,2}/{kernel,bias} — is
+unchanged).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_HALF = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+# weight blocks + (tile, 4C) f32 intermediates + f32 dW accumulators —
+# stage 3 (C=1024) peaks around 70 MB with the tile cap below
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _erf(x):
+    """erf from exp: Mosaic has no erf primitive.  Rational erfc
+    approximation (Numerical Recipes 6.2), |abs err| <= 4e-7 in f32 — below
+    every tolerance in this model's parity suites and far below bf16
+    resolution (the production compute dtype)."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.5 * ax)
+    poly = -1.26551223 + t * (1.00002368 + t * (0.37409196 + t * (
+        0.09678418 + t * (-0.18628806 + t * (0.27886807 + t * (
+            -1.13520398 + t * (1.48851587 + t * (-0.82215223 +
+                                                 t * 0.17087277))))))))
+    erfc = t * jnp.exp(-ax * ax + poly)
+    return jnp.where(x >= 0, 1.0 - erfc, erfc - 1.0)
+
+
+def _gelu_parts(h):
+    """Exact GELU value and derivative on f32 ``h``.
+
+    a = h * Phi(h);  s = Phi(h) + h * phi(h)   (Phi/phi: std normal
+    CDF/PDF) — the same math autodiff derives for jax.nn.gelu
+    (approximate=False), evaluated once while ``h`` is VMEM-resident.
+    """
+    phi = 0.5 * (1.0 + _erf(h * _SQRT_HALF))
+    a = h * phi
+    s = phi + h * jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    return a, s
+
+
+def _tile_rows(m: int, f: int) -> int:
+    """Largest divisor of ``m`` under a VMEM-driven cap.
+
+    Cap keeps the (tile, F) f32 intermediates ~<= 8 MB; token counts in
+    this model (B*D*H*W) are rich in small factors, so a divisor near
+    the cap always exists.
+    """
+    cap = max(128, min(2048, (1 << 21) // max(f, 1)))
+    if m <= cap:
+        return m
+    best = 1
+    for t in range(cap, 0, -1):
+        if m % t == 0:
+            best = t
+            break
+    return best
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                a_ref=None, s_ref=None):
+    h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h += b1_ref[...].astype(jnp.float32)
+    a, s = _gelu_parts(h)
+    ac = a.astype(x_ref.dtype)
+    o = jax.lax.dot_general(ac, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o += b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+    if a_ref is not None:
+        a_ref[...] = ac
+        s_ref[...] = s.astype(s_ref.dtype)
+
+
+def _bwd_kernel(x_ref, a_ref, s_ref, g_ref, w1_ref, w2_ref,
+                dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref):
+    i = pl.program_id(0)
+    g = g_ref[...]                                            # (Mt, C)
+    # da = g @ W2^T ; dh = da * gelu'(h)
+    da = jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = da * s_ref[...].astype(jnp.float32)
+    dhc = dh.astype(g.dtype)
+    dx = jax.lax.dot_general(dhc, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dw1 = jax.lax.dot_general(x_ref[...], dhc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(a_ref[...], g, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dw1_ref[...] += dw1
+    dw2_ref[...] += dw2
+    db1_ref[...] += db1
+    db2_ref[...] += db2
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("save_residuals", "interpret"))
+def _pallas_mlp_fwd(x2, w1, b1, w2, b2, save_residuals, interpret=False):
+    m, c = x2.shape
+    f = w1.shape[1]
+    mt = _tile_rows(m, f)
+    tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ins = [tile, _const_spec((c, f)), _const_spec((1, f)),
+           _const_spec((f, c)), _const_spec((1, c))]
+    outs = [tile]
+    out_shapes = [jax.ShapeDtypeStruct((m, c), x2.dtype)]
+    if save_residuals:
+        outs += [ftile, ftile]
+        out_shapes += [jax.ShapeDtypeStruct((m, f), x2.dtype),
+                       jax.ShapeDtypeStruct((m, f), x2.dtype)]
+        kern = _fwd_kernel
+    else:
+        kern = functools.partial(_fwd_kernel, a_ref=None, s_ref=None)
+    res = pl.pallas_call(
+        kern,
+        grid=(m // mt,),
+        in_specs=ins,
+        out_specs=outs if save_residuals else outs[0],
+        out_shape=out_shapes if save_residuals else out_shapes[0],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(x2, w1, b1.reshape(1, f), w2, b2.reshape(1, c))
+    return res if save_residuals else (res,)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_mlp_bwd(x2, a, s, g, w1, w2, interpret=False):
+    m, c = x2.shape
+    f = w1.shape[1]
+    mt = _tile_rows(m, f)
+    tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(m // mt,),
+        in_specs=[tile, ftile, ftile, tile,
+                  _const_spec((c, f)), _const_spec((f, c))],
+        out_specs=[tile, _const_spec((c, f)), _const_spec((f, c)),
+                   _const_spec((1, f)), _const_spec((1, c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), x2.dtype),
+            jax.ShapeDtypeStruct((c, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(x2, a, s, g, w1, w2)
+
+
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_mlp(x2, w1, b1, w2, b2, interpret=False):
+    # primal (not under grad == the eval forward): no residual outputs
+    (o,) = _pallas_mlp_fwd(x2, w1, b1, w2, b2, False, interpret=interpret)
+    return o
+
+
+def _fused_mlp_vjp_fwd(x2, w1, b1, w2, b2, interpret):
+    o, a, s = _pallas_mlp_fwd(x2, w1, b1, w2, b2, True, interpret=interpret)
+    return o, (x2, w1, w2, a, s)
+
+
+def _fused_mlp_vjp_bwd(interpret, res, g):
+    x2, w1, w2, a, s = res
+    dx, dw1, dw2, db1, db2 = _pallas_mlp_bwd(x2, a, s, g, w1, w2,
+                                             interpret=interpret)
+    return (dx, dw1.astype(w1.dtype), db1[0].astype(w1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+
+
+_fused_mlp.defvjp(_fused_mlp_vjp_fwd, _fused_mlp_vjp_bwd)
+
+
+def mlp_reference(x, w1, b1, w2, b2):
+    """The unfused math == flax Dense/gelu/Dense at the carried dtype
+    (swin_transformer.py:48-65)."""
+    h = jnp.dot(x, w1) + b1
+    a = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(a, w2) + b2
+
+
+def fused_mlp(x, w1, b1, w2, b2, dtype=jnp.float32, *,
+              use_pallas: bool = None, interpret: bool = False):
+    """fc2(gelu_exact(fc1(x))) over the trailing axis of ``x``.
+
+    Params arrive at storage dtype (f32 masters) and are cast to the
+    compute ``dtype`` here — matching flax's promote_dtype — so the
+    cotangents flow back to f32 through the cast's VJP exactly as they
+    do for nn.Dense.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    args = [t.astype(dtype) for t in (x, w1, b1, w2, b2)]
+    if not (use_pallas or interpret):
+        return mlp_reference(*args)
+    x, w1, b1, w2, b2 = args
+    lead = x.shape[:-1]
+    o = _fused_mlp(x.reshape(-1, x.shape[-1]), w1, b1, w2, b2, interpret)
+    return o.reshape(*lead, w2.shape[1])
