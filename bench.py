@@ -17,9 +17,11 @@ Modes (env vars; the default prints the driver's headline metric):
   BENCH_PROFILE=<dir>         capture a jax.profiler trace of the timed
                               loop into <dir>
 
-The headline numbers are **measured**: ms/video, the step's FLOP count
-from XLA's own cost analysis, achieved TFLOP/s, and the fraction of the
-chip's bf16 peak (roofline).  ``vs_baseline`` is kept for the driver but
+The headline numbers are **measured**: ms/video, the step's analytic
+FLOP count (unoptimized-HLO cost analysis of a kernel-free CPU twin of
+the same step — benchmarks/flops_twin.py; the compiled executable's
+analysis cannot see inside Pallas custom calls), achieved TFLOP/s, and
+the fraction of the chip's bf16 peak (roofline).  ``vs_baseline`` is kept for the driver but
 is an ESTIMATE: the reference repo publishes no numbers (BASELINE.md)
 and this environment has no GPU to measure it on; the constant below is
 a documented guess at the reference's per-video latency on its
@@ -199,21 +201,30 @@ def main():
             ctx.__exit__(None, None, None)
         ms_per_video = 1000.0 * elapsed / N_VIDEOS
 
-    # measured efficiency: the jitted step's FLOPs from XLA's own cost
-    # analysis (flops of the compiled adapt+eval executable), divided by
-    # the measured time, against the chip's bf16 peak
+    # measured efficiency: the step's analytic FLOPs divided by the
+    # measured time, against the chip's bf16 peak.  The count comes from
+    # a CPU-backend twin of the same step (benchmarks/flops_twin.py,
+    # subprocess: the in-process backend is pinned to the TPU plugin):
+    # unoptimized-HLO cost analysis of the identical math with the
+    # kernel auto-gates off.  Neither the tunneled TPU's client (no HLO
+    # analysis implemented) nor the compiled executable's analysis
+    # (cannot see inside Pallas custom calls) can produce this number.
     step_tflop = None
     try:
-        lowered = engine._adapt_eval.lower(
-            state, views_pool[0] if not BENCH_E2E else views,
-            clips_pool[0] if not BENCH_E2E else clip,
-            labels if not BENCH_E2E else label, rng)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_tflop = float(cost.get("flops", 0.0)) / 1e12
-    except Exception:
-        pass
+        import subprocess
+        import sys
+        twin = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "flops_twin.py"),
+             BENCH_MODEL, BENCH_DTYPE],
+            capture_output=True, text=True, timeout=900, check=True)
+        step_tflop = json.loads(twin.stdout.strip().splitlines()[-1]
+                                )["flops"] / 1e12
+    except Exception as e:  # diagnostic only — the timing result stands
+        import sys
+        print(f"flop accounting failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     out = {
         "metric": metric,

@@ -128,7 +128,8 @@ def relative_position_bias(t4, window_size: Tuple[int, int, int],
     wd, wh, ww = window_size
     nh = t4.shape[-1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
     if use_pallas or interpret:
         from vitta_tpu.ops.pallas_bias import expand_bias_pallas
         return expand_bias_pallas(t4, (wd, wh, ww), interpret=interpret)

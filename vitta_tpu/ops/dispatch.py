@@ -1,0 +1,21 @@
+"""Single switch for the Pallas kernel auto-gates.
+
+Every fused kernel picks Pallas-vs-jnp at trace time via
+``pallas_enabled()``; setting ``VITTA_DISABLE_PALLAS=1`` before a trace
+forces the pure-jnp paths (identical math).  bench.py uses this to
+lower a kernel-free twin of the step for FLOP accounting — XLA's cost
+analysis cannot see inside Pallas custom calls, so the fused build
+under-reports flops — and it doubles as an operational escape hatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("VITTA_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"

@@ -215,7 +215,8 @@ def fused_window_attention(q, k, v, bias, mask, scale, *,
     path (identical math) elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
     if not (use_pallas or interpret):
         return attention_reference(q, k, v, bias, mask, scale)
     to3 = lambda t: jnp.transpose(t, (2, 0, 1, 3))    # -> (nh, B_, N, hd)
@@ -314,6 +315,10 @@ def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
 
 
 def _packed_specs(n, c3, nh, nw, with_mask):
+    # one window per grid step; batching several windows per step was
+    # measured SLOWER (48.1 vs 46.9 ms/video with up to 32 unrolled
+    # (window, head) problems per step — the larger revisited working
+    # set defeats Mosaic's double-buffering)
     qkv = pl.BlockSpec((1, n, c3), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
@@ -424,7 +429,8 @@ def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
     c = c3 // 3
     hd = c // nh
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
     if not (use_pallas or interpret):
         q5 = qkv.reshape(b_, n, 3, nh, hd)
         out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],

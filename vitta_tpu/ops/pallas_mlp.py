@@ -245,7 +245,8 @@ def fused_mlp(x, w1, b1, w2, b2, dtype=jnp.float32, *,
     do for nn.Dense.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
     args = [t.astype(dtype) for t in (x, w1, b1, w2, b2)]
     if not (use_pallas or interpret):
         return mlp_reference(*args)
