@@ -94,3 +94,96 @@ def test_inkernel_erf_matches_lax_erf():
     x = jnp.linspace(-6.0, 6.0, 100001, dtype=jnp.float32)
     err = float(jnp.max(jnp.abs(_erf(x) - jax.lax.erf(x))))
     assert err < 5e-7, err
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm-prologue variant (fused_ln_mlp)
+# ---------------------------------------------------------------------------
+def _ln_params(key, c, f):
+    x, w1, b1, w2, b2 = _params(key, c, f)
+    ks = jax.random.split(jax.random.fold_in(key, 99), 2)
+    g = 1.0 + 0.1 * jax.random.normal(ks[0], (c,))
+    bt = 0.1 * jax.random.normal(ks[1], (c,))
+    return x, g, bt, w1, b1, w2, b2
+
+
+def test_fused_ln_mlp_forward_matches_reference():
+    from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, lnmlp_reference
+    args = _ln_params(jax.random.PRNGKey(4), 32, 128)
+    o_ref, y_ref = lnmlp_reference(*args, 1e-5)
+    o, y = fused_ln_mlp(*args, 1e-5, use_pallas=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_fused_ln_mlp_gradients_match_reference():
+    """Gradients through BOTH outputs: o (the residual branch) and y
+    (the stat-tap cotangent path the ViTTA loss uses)."""
+    from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, lnmlp_reference
+    args = _ln_params(jax.random.PRNGKey(5), 32, 128)
+
+    def loss(impl):
+        def fn(a):
+            o, y = impl(a)
+            # y enters like a stat-regularization term: a nonlinear
+            # reduction, so dy is a real, value-dependent cotangent
+            return jnp.sum(o * jnp.cos(o)) + jnp.sum(jnp.square(
+                jnp.mean(y, axis=tuple(range(y.ndim - 1)))))
+        return fn
+
+    g_ref = jax.grad(loss(lambda a: lnmlp_reference(*a, 1e-5)))(args)
+    g_pal = jax.grad(loss(lambda a: fused_ln_mlp(
+        *a, 1e-5, use_pallas=False, interpret=True)))(args)
+    for gr, gp, name in zip(g_ref, g_pal, "x g bt w1 b1 w2 b2".split()):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_swin_block_fused_ln_matches_unfused_model():
+    """The whole SwinBlock3D with the fused norm2+MLP path (interpret)
+    equals the unfused module composition, taps included."""
+    import flax
+    from vitta_tpu.models.swin import SwinBlock3D
+    rng = jax.random.PRNGKey(6)
+    blk = SwinBlock3D(dim=128, num_heads=4, window_size=(2, 4, 4),
+                      shift_size=(0, 0, 0))
+    x = jax.random.normal(rng, (1, 2, 8, 8, 128))
+    v = blk.init({"params": rng, "dropout": rng}, x)
+    y_ref, taps_ref = blk.apply(v, x, mutable=["taps"])
+
+    # flip the auto-gates on, but route every kernel to its CPU-legal
+    # form: LN+MLP to interpret, attention/bias to the jnp fallbacks
+    from vitta_tpu.ops import dispatch
+    import vitta_tpu.ops.pallas_attention as pa
+    import vitta_tpu.ops.pallas_mlp as pm
+    import vitta_tpu.models.swin as swin_mod
+    orig = dispatch.pallas_enabled
+    orig_fused = pm.fused_ln_mlp
+    orig_attn = pa.fused_window_attention_packed
+    orig_bias = swin_mod.relative_position_bias
+    try:
+        dispatch.pallas_enabled = lambda: True
+        pm.fused_ln_mlp = lambda *a, **kw: orig_fused(
+            *a, **{**kw, "use_pallas": False, "interpret": True})
+        pa.fused_window_attention_packed = lambda *a, **kw: orig_attn(
+            *a, **{**kw, "use_pallas": False})
+        swin_mod.relative_position_bias = lambda *a, **kw: orig_bias(
+            *a, **{**kw, "use_pallas": False})
+        y_fused, taps_fused = blk.apply(v, x, mutable=["taps"])
+    finally:
+        dispatch.pallas_enabled = orig
+        pm.fused_ln_mlp = orig_fused
+        pa.fused_window_attention_packed = orig_attn
+        swin_mod.relative_position_bias = orig_bias
+
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    ref_leaves = flax.traverse_util.flatten_dict(taps_ref["taps"])
+    fus_leaves = flax.traverse_util.flatten_dict(taps_fused["taps"])
+    assert set(map(tuple, ref_leaves)) == set(map(tuple, fus_leaves))
+    for k in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(fus_leaves[k]), np.asarray(ref_leaves[k]),
+            rtol=2e-5, atol=2e-5, err_msg=str(k))

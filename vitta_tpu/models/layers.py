@@ -203,12 +203,28 @@ class LayerNorm(nn.Module):
     stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mode: str = "full"):
+        """mode:
+        * "full" — normalize ``x`` and return y (taps on both sides);
+        * "params" — sow the input-side tap of ``x`` and return
+          ``(scale, bias)`` for a fused consumer (ops/pallas_mlp.py
+          computes the normalization in the MLP kernel's scratch);
+        * "sow_output" — ``x`` is the externally computed y: sow the
+          output-side tap under this module's scope (tap names must not
+          move when the normalize itself is fused away) and return it.
+        """
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if mode == "sow_output":
+            if self.tap:
+                _sow_typed_stats(self, x.astype(jnp.float32),
+                                 self.stat_types, 0)
+            return x
         if self.tap:
             _sow_typed_stats(self, x.astype(jnp.float32), self.stat_types, 0,
                              input_side=True)
+        if mode == "params":
+            return scale, bias
         c = x.shape[-1]
         rows = x.size // c
         if jax.default_backend() == "tpu" and rows % 8 == 0 and c % 128 == 0:

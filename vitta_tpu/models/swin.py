@@ -265,10 +265,18 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None):
+        """ln, when given, is (scale, bias, eps) of the preceding
+        LayerNorm: the normalize fuses into the kernel prologue and the
+        call returns (o, y) with y the LayerNorm output (for the
+        output-side stat tap)."""
         w1, b1 = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
         w2, b2 = _DenseParams(self.out, name="fc2")(self.hidden)
-        from vitta_tpu.ops.pallas_mlp import fused_mlp
+        from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, fused_mlp
+        if ln is not None:
+            scale, bias, eps = ln
+            return fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, eps,
+                                dtype=self.dtype)
         return fused_mlp(x, w1, b1, w2, b2, dtype=self.dtype)
 
 
@@ -317,9 +325,19 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
-        y = LayerNorm(c, stat_types=self.stat_types, name="norm2")(x)
-        y = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
-                name="mlp")(y, deterministic)
+        norm2 = LayerNorm(c, stat_types=self.stat_types, name="norm2")
+        mlp = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        if pallas_enabled() and c % 128 == 0 and (x.size // c) % 8 == 0:
+            # norm2 fuses into the MLP kernel's prologue; the module
+            # still owns the params and sows both tap sides (input here,
+            # output from the kernel-returned y) so tap names are
+            # identical to the unfused path
+            scale, bias = norm2(x, mode="params")
+            y, ln_out = mlp(x, deterministic, ln=(scale, bias, norm2.eps))
+            norm2(ln_out, mode="sow_output")
+        else:
+            y = mlp(norm2(x), deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 

@@ -235,6 +235,221 @@ def mlp_reference(x, w1, b1, w2, b2):
     return jnp.dot(a, w2) + b2
 
 
+# ---------------------------------------------------------------------------
+# LayerNorm-prologue variant: norm2 -> fc1 -> GELU -> fc2 in ONE kernel.
+#
+# The pre-MLP LayerNorm's output y is consumed only by fc1 (and the
+# ViTTA output-side stat tap), so computing it in the MLP kernel's
+# scratch removes a full (M, C) HBM round-trip plus ~48 separate LN
+# kernel launches per step.  y is still emitted (the tap needs it, and
+# its cotangent from the stat-regularization loss re-enters the fused
+# backward as dy), mean/rstd are recomputed in backward from x exactly
+# like ops/pallas_ln.py.
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x_ref, g_ref, b_ref, eps):
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(msq - mu * mu + eps)
+    xh = (xf - mu) * rstd
+    return xh, rstd, xh * g_ref[...].astype(jnp.float32) + \
+        b_ref[...].astype(jnp.float32)
+
+
+def _lnmlp_fwd_kernel(x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      o_ref, y_ref, a_ref=None, s_ref=None, *, eps):
+    _, _, yf = _ln_rows(x_ref, g_ref, bt_ref, eps)
+    yc = yf.astype(y_ref.dtype)
+    y_ref[...] = yc
+    h = jax.lax.dot_general(yc, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h += b1_ref[...].astype(jnp.float32)
+    a, s = _gelu_parts(h)
+    ac = a.astype(x_ref.dtype)
+    o = jax.lax.dot_general(ac, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o += b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+    if a_ref is not None:
+        a_ref[...] = ac
+        s_ref[...] = s.astype(s_ref.dtype)
+
+
+def _lnmlp_bwd_kernel(x_ref, y_ref, a_ref, s_ref, go_ref, gy_ref,
+                      g_ref, w1_ref, w2_ref,
+                      dx_ref, dg_ref, dbt_ref, dw1_ref, dw2_ref,
+                      db1_ref, db2_ref, *, eps):
+    i = pl.program_id(0)
+    go = go_ref[...]                                          # (Mt, C)
+    da = jax.lax.dot_general(go, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = da * s_ref[...].astype(jnp.float32)
+    dhc = dh.astype(go.dtype)
+    dy = jax.lax.dot_general(dhc, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dy += gy_ref[...].astype(jnp.float32)   # stat-tap cotangent on y
+    dw1 = jax.lax.dot_general(y_ref[...], dhc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(a_ref[...], go, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    db2 = jnp.sum(go.astype(jnp.float32), axis=0, keepdims=True)
+
+    # LayerNorm backward (same formulation as ops/pallas_ln.py:_bwd_kernel)
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(msq - mu * mu + eps)
+    xh = (xf - mu) * rstd
+    dg = jnp.sum(dy * xh, axis=0, keepdims=True)
+    dbt = jnp.sum(dy, axis=0, keepdims=True)
+    wg = dy * g_ref[...].astype(jnp.float32)
+    dx = rstd * (wg - jnp.mean(wg, axis=-1, keepdims=True)
+                 - xh * jnp.mean(wg * xh, axis=-1, keepdims=True))
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbt_ref[...] = jnp.zeros_like(dbt_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dg_ref[...] += dg
+    dbt_ref[...] += dbt
+    dw1_ref[...] += dw1
+    dw2_ref[...] += dw2
+    db1_ref[...] += db1
+    db2_ref[...] += db2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "save_residuals", "interpret"))
+def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
+                      interpret=False):
+    m, c = x2.shape
+    f = w1.shape[1]
+    mt = _tile_rows(m, f)
+    tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ins = [tile, _const_spec((1, c)), _const_spec((1, c)),
+           _const_spec((c, f)), _const_spec((1, f)),
+           _const_spec((f, c)), _const_spec((1, c))]
+    outs = [tile, tile]
+    out_shapes = [jax.ShapeDtypeStruct((m, c), x2.dtype),
+                  jax.ShapeDtypeStruct((m, c), x2.dtype)]
+    if save_residuals:
+        outs += [ftile, ftile]
+        out_shapes += [jax.ShapeDtypeStruct((m, f), x2.dtype),
+                       jax.ShapeDtypeStruct((m, f), x2.dtype)]
+        kern = functools.partial(_lnmlp_fwd_kernel, eps=eps)
+    else:
+        kern = functools.partial(_lnmlp_fwd_kernel, a_ref=None, s_ref=None,
+                                 eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(m // mt,),
+        in_specs=ins,
+        out_specs=outs,
+        out_shape=out_shapes,
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(x2, g.reshape(1, c), bt.reshape(1, c), w1, b1.reshape(1, f),
+      w2, b2.reshape(1, c))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _pallas_lnmlp_bwd(x2, y, a, s, go, gy, g, w1, w2, eps, interpret=False):
+    m, c = x2.shape
+    f = w1.shape[1]
+    mt = _tile_rows(m, f)
+    tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lnmlp_bwd_kernel, eps=eps),
+        grid=(m // mt,),
+        in_specs=[tile, tile, ftile, ftile, tile, tile,
+                  _const_spec((1, c)), _const_spec((c, f)),
+                  _const_spec((f, c))],
+        out_specs=[tile, _const_spec((1, c)), _const_spec((1, c)),
+                   _const_spec((c, f)), _const_spec((f, c)),
+                   _const_spec((1, f)), _const_spec((1, c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), x2.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(x2, y, a, s, go, gy, g.reshape(1, c), w1, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_lnmlp(x2, g, bt, w1, b1, w2, b2, eps, interpret=False):
+    o, y = _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, False,
+                             interpret=interpret)
+    return o, y
+
+
+def _fused_lnmlp_vjp_fwd(x2, g, bt, w1, b1, w2, b2, eps, interpret):
+    o, y, a, s = _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, True,
+                                   interpret=interpret)
+    return (o, y), (x2, y, a, s, g, w1, w2)
+
+
+def _fused_lnmlp_vjp_bwd(eps, interpret, res, cot):
+    go, gy = cot
+    x2, y, a, s, g, w1, w2 = res
+    dx, dg, dbt, dw1, dw2, db1, db2 = _pallas_lnmlp_bwd(
+        x2, y, a, s, go, gy, g, w1, w2, eps, interpret=interpret)
+    return (dx, dg[0].astype(g.dtype), dbt[0].astype(g.dtype),
+            dw1.astype(w1.dtype), db1[0].astype(w1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+
+
+_fused_lnmlp.defvjp(_fused_lnmlp_vjp_fwd, _fused_lnmlp_vjp_bwd)
+
+
+def lnmlp_reference(x, g, bt, w1, b1, w2, b2, eps):
+    """Unfused oracle: layers.py one-pass f32 LayerNorm then the MLP at
+    the carried dtype; returns (o, y)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    yf = (xf - mu) * jax.lax.rsqrt(msq - jnp.square(mu) + eps) \
+        * g.astype(jnp.float32) + bt.astype(jnp.float32)
+    y = yf.astype(x.dtype)
+    return mlp_reference(y, w1, b1, w2, b2), y
+
+
+def fused_ln_mlp(x, g, bt, w1, b1, w2, b2, eps, dtype=jnp.float32, *,
+                 use_pallas: bool = None, interpret: bool = False):
+    """(LayerNorm -> fc1 -> exact GELU -> fc2)(x) over the trailing
+    axis; returns (o, y) with y = the LayerNorm output (the ViTTA
+    output-side stat tap consumes it, and its cotangent re-enters the
+    fused backward).  gamma/beta stay f32 (LayerNorm params); the MLP
+    weights are cast to the compute ``dtype`` here, matching flax."""
+    if use_pallas is None:
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
+    xc = x.astype(dtype)
+    args = [t.astype(dtype) for t in (w1, b1, w2, b2)]
+    if not (use_pallas or interpret):
+        return lnmlp_reference(xc, g, bt, *args, eps)
+    lead = x.shape[:-1]
+    o, y = _fused_lnmlp(xc.reshape(-1, x.shape[-1]), g, bt, *args,
+                        float(eps), interpret)
+    return o.reshape(*lead, w2.shape[1]), y.reshape(x.shape)
+
+
 def fused_mlp(x, w1, b1, w2, b2, dtype=jnp.float32, *,
               use_pallas: bool = None, interpret: bool = False):
     """fc2(gelu_exact(fc1(x))) over the trailing axis of ``x``.
