@@ -130,6 +130,8 @@ class _SyntheticPaired:
 def main():
     import jax
     import jax.numpy as jnp
+    from vitta_tpu.cli.opts import enable_compile_cache
+    enable_compile_cache()
 
     T, K, V = 16, 101, 2
     HW = 224

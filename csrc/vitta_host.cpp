@@ -21,6 +21,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kPrecisionBits = 32 - 8 - 2;  // PIL-style fixed point
@@ -116,6 +120,42 @@ namespace {
 
 constexpr int32_t kHalf = 1 << (kPrecisionBits - 1);
 
+// one scalar RGB output pixel (shared by the scalar pass and the
+// vector pass's edge/tail pixels)
+inline void hpass_rgb_pixel(const uint8_t* row, int xx, const AxisCoeffs& hc,
+                            uint8_t* orow) {
+  const int xcount = hc.bounds[xx * 2 + 1];
+  const int* k = hc.coeffs.data() + static_cast<size_t>(xx) * hc.ksize;
+  const uint8_t* p = row + hc.bounds[xx * 2] * 3;
+  int32_t a0 = kHalf, a1 = kHalf, a2 = kHalf;
+  switch (xcount) {
+    case 4:
+      a0 += p[9] * k[3]; a1 += p[10] * k[3]; a2 += p[11] * k[3];
+      [[fallthrough]];
+    case 3:
+      a0 += p[6] * k[2]; a1 += p[7] * k[2]; a2 += p[8] * k[2];
+      [[fallthrough]];
+    case 2:
+      a0 += p[0] * k[0] + p[3] * k[1];
+      a1 += p[1] * k[0] + p[4] * k[1];
+      a2 += p[2] * k[0] + p[5] * k[1];
+      break;
+    case 1:
+      a0 += p[0] * k[0]; a1 += p[1] * k[0]; a2 += p[2] * k[0];
+      break;
+    default:
+      for (int x = 0; x < xcount; ++x) {
+        const int32_t kx = k[x];
+        a0 += p[x * 3 + 0] * kx;
+        a1 += p[x * 3 + 1] * kx;
+        a2 += p[x * 3 + 2] * kx;
+      }
+  }
+  orow[xx * 3 + 0] = clip8(a0);
+  orow[xx * 3 + 1] = clip8(a1);
+  orow[xx * 3 + 2] = clip8(a2);
+}
+
 // horizontal pass: (h, w, c) -> (h, ow, c), c == 3 fast path with the
 // dominant 2/3/4-tap windows fully unrolled (upscale and mild downscale
 // use tiny tap counts where loop overhead exceeds the arithmetic).
@@ -125,39 +165,96 @@ void hpass_rgb(const uint8_t* in, int h, int w, uint8_t* tmp, int ow,
     const uint8_t* row = in + static_cast<size_t>(y) * w * 3;
     uint8_t* orow = tmp + static_cast<size_t>(y) * ow * 3;
     for (int xx = 0; xx < ow; ++xx) {
-      const int xcount = hc.bounds[xx * 2 + 1];
-      const int* k = hc.coeffs.data() + static_cast<size_t>(xx) * hc.ksize;
-      const uint8_t* p = row + hc.bounds[xx * 2] * 3;
-      int32_t a0 = kHalf, a1 = kHalf, a2 = kHalf;
-      switch (xcount) {
-        case 4:
-          a0 += p[9] * k[3]; a1 += p[10] * k[3]; a2 += p[11] * k[3];
-          [[fallthrough]];
-        case 3:
-          a0 += p[6] * k[2]; a1 += p[7] * k[2]; a2 += p[8] * k[2];
-          [[fallthrough]];
-        case 2:
-          a0 += p[0] * k[0] + p[3] * k[1];
-          a1 += p[1] * k[0] + p[4] * k[1];
-          a2 += p[2] * k[0] + p[5] * k[1];
-          break;
-        case 1:
-          a0 += p[0] * k[0]; a1 += p[1] * k[0]; a2 += p[2] * k[0];
-          break;
-        default:
-          for (int x = 0; x < xcount; ++x) {
-            const int32_t kx = k[x];
-            a0 += p[x * 3 + 0] * kx;
-            a1 += p[x * 3 + 1] * kx;
-            a2 += p[x * 3 + 2] * kx;
-          }
-      }
-      orow[xx * 3 + 0] = clip8(a0);
-      orow[xx * 3 + 1] = clip8(a1);
-      orow[xx * 3 + 2] = clip8(a2);
+      hpass_rgb_pixel(row, xx, hc, orow);
     }
   }
 }
+
+#if defined(__AVX2__)
+// Vectorized RGB horizontal pass — identical int32 fixed-point math to
+// hpass_rgb (same kHalf rounding, same arithmetic-shift clip), just
+// restructured as per-tap sweeps over 8 output pixels:
+//  * one 32-bit gather per (tap, 8 pixels) loads each tap pixel's
+//    r,g,b (+1 ignored byte); zero-padded taps contribute k==0;
+//  * the vector region is limited to pixels whose every tap read —
+//    padding included — stays strictly inside the input row, and ends
+//    >=2 pixels before the row end so the 16-byte interleaved stores'
+//    overhang is always rewritten (by the next iteration or the scalar
+//    tail); edge pixels take the scalar path, so the output is
+//    byte-identical to hpass_rgb.
+void hpass_rgb_vec(const uint8_t* in, int h, int w, uint8_t* tmp, int ow,
+                   const AxisCoeffs& hc) {
+  const int ksize = hc.ksize;
+  // per-frame precompute (reused across all h rows): tap-major
+  // coefficients and byte base offsets
+  std::vector<int32_t> kt(static_cast<size_t>(ksize) * ow);
+  std::vector<int32_t> bo(ow);
+  for (int xx = 0; xx < ow; ++xx) {
+    bo[xx] = hc.bounds[xx * 2] * 3;
+    for (int t = 0; t < ksize; ++t) {
+      kt[static_cast<size_t>(t) * ow + xx] =
+          hc.coeffs[static_cast<size_t>(xx) * hc.ksize + t];
+    }
+  }
+  int vend = 0;  // first pixel whose widest gather could leave the row
+  while (vend < ow && bo[vend] + 3 * (ksize - 1) + 4 <= 3 * w) ++vend;
+  vend = std::min(vend, ow - 2);
+  const int vw = vend < 8 ? 0 : (vend & ~7);
+
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i v255 = _mm256_set1_epi32(255);
+  const __m256i vmask = _mm256_set1_epi32(0xff);
+  const __m256i vhalf = _mm256_set1_epi32(kHalf);
+  // (r|g<<8|b<<16) x8 int32 -> 24 packed RGB bytes (12 per 128-bit lane)
+  const __m256i shuf = _mm256_setr_epi8(
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1,
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
+
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = in + static_cast<size_t>(y) * w * 3;
+    uint8_t* orow = tmp + static_cast<size_t>(y) * ow * 3;
+    for (int xx = 0; xx < vw; xx += 8) {
+      const __m256i off = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(bo.data() + xx));
+      __m256i a0 = vhalf, a1 = vhalf, a2 = vhalf;
+      for (int t = 0; t < ksize; ++t) {
+        const __m256i g = _mm256_i32gather_epi32(
+            reinterpret_cast<const int*>(row + 3 * t), off, 1);
+        const __m256i k = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(
+            kt.data() + static_cast<size_t>(t) * ow + xx));
+        a0 = _mm256_add_epi32(
+            a0, _mm256_mullo_epi32(_mm256_and_si256(g, vmask), k));
+        a1 = _mm256_add_epi32(
+            a1, _mm256_mullo_epi32(
+                    _mm256_and_si256(_mm256_srli_epi32(g, 8), vmask), k));
+        a2 = _mm256_add_epi32(
+            a2, _mm256_mullo_epi32(
+                    _mm256_and_si256(_mm256_srli_epi32(g, 16), vmask), k));
+      }
+      a0 = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_srai_epi32(a0, kPrecisionBits), vzero),
+          v255);
+      a1 = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_srai_epi32(a1, kPrecisionBits), vzero),
+          v255);
+      a2 = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_srai_epi32(a2, kPrecisionBits), vzero),
+          v255);
+      const __m256i pix = _mm256_or_si256(
+          a0, _mm256_or_si256(_mm256_slli_epi32(a1, 8),
+                              _mm256_slli_epi32(a2, 16)));
+      const __m256i packed = _mm256_shuffle_epi8(pix, shuf);
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(orow + xx * 3),
+                       _mm256_castsi256_si128(packed));
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(orow + xx * 3 + 12),
+                       _mm256_extracti128_si256(packed, 1));
+    }
+    for (int xx = vw; xx < ow; ++xx) {
+      hpass_rgb_pixel(row, xx, hc, orow);
+    }
+  }
+}
+#endif  // __AVX2__
 
 void hpass_generic(const uint8_t* in, int h, int w, int c, uint8_t* tmp,
                    int ow, const AxisCoeffs& hc) {
@@ -202,14 +299,23 @@ void vpass(const uint8_t* tmp, uint8_t* out, int oh, int rw,
   }
 }
 
-void resize_one(const uint8_t* in, int h, int w, int c, uint8_t* out,
-                int oh, int ow, const AxisCoeffs& hc, const AxisCoeffs& vc,
-                uint8_t* tmp, int32_t* acc) {
+void hpass(const uint8_t* in, int h, int w, int c, uint8_t* tmp, int ow,
+           const AxisCoeffs& hc) {
   if (c == 3) {
+#if defined(__AVX2__)
+    hpass_rgb_vec(in, h, w, tmp, ow, hc);
+#else
     hpass_rgb(in, h, w, tmp, ow, hc);
+#endif
   } else {
     hpass_generic(in, h, w, c, tmp, ow, hc);
   }
+}
+
+void resize_one(const uint8_t* in, int h, int w, int c, uint8_t* out,
+                int oh, int ow, const AxisCoeffs& hc, const AxisCoeffs& vc,
+                uint8_t* tmp, int32_t* acc) {
+  hpass(in, h, w, c, tmp, ow, hc);
   vpass(tmp, out, oh, ow * c, vc, acc);
 }
 
@@ -290,11 +396,7 @@ void resize_bilinear_u8_window(const uint8_t* in, int n, int h, int w, int c,
     const uint8_t* src =
         in + (static_cast<size_t>(i) * h + ylo) * w * c;
     uint8_t* dst = out + static_cast<size_t>(i) * owh * oww * c;
-    if (c == 3) {
-      hpass_rgb(src, hrows, w, tmp.data(), oww, hcw);
-    } else {
-      hpass_generic(src, hrows, w, c, tmp.data(), oww, hcw);
-    }
+    hpass(src, hrows, w, c, tmp.data(), oww, hcw);
     vpass(tmp.data(), dst, owh, oww * c, vcw, acc.data());
   }
 }

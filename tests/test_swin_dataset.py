@@ -44,6 +44,43 @@ def test_swin_dataset_shapes_and_scale():
     assert dataset_cls_for("videoswintransformer") is SwinVideoDataset
 
 
+def test_fused_short_resize_crop_matches_unfused():
+    """_resize_short_crop (windowed resample) == short-side resize then
+    crop, for both the TTA (random bbox) and eval (center) geometries."""
+    from vitta_tpu.data import native
+    cfg = tiny_cfg()
+    src = SyntheticVideoSource(height=48, width=64, frames_per_video=50)
+    ds = SwinVideoDataset(cfg, src, records(), dataset_type="tta")
+    frames = src.get_batch("v0", np.arange(8))
+    h, w = ds._short_dims(*frames.shape[1:3])
+    full = native.resize_bilinear(frames, h, w, antialias=False)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, rng)
+        fused = ds._resize_short_crop(frames, y, x, ch, cw)
+        np.testing.assert_array_equal(fused, full[:, y:y + ch, x:x + cw])
+    # identity case: short side already == scale_size -> crop only
+    ds32 = SwinVideoDataset(cfg, src, records(), dataset_type="tta")
+    f32 = src.get_batch("v0", np.arange(4))[:, :32, :40]
+    assert ds32._short_dims(32, 40) == (32, 40)
+    out = ds32._resize_short_crop(f32, 2, 3, 24, 24)
+    np.testing.assert_array_equal(out, f32[:, 2:26, 3:27])
+
+
+def test_synthetic_source_frame_cache_is_transparent():
+    """Repeated/overlapping get_batch calls hit the LRU frame cache and
+    return identical frames to a fresh source."""
+    a = SyntheticVideoSource(height=32, width=40)
+    first = a.get_batch("vid", np.array([0, 2, 5, 2]))
+    again = a.get_batch("vid", np.array([2, 0, 5]))
+    np.testing.assert_array_equal(first[1], again[0])
+    np.testing.assert_array_equal(first[0], again[1])
+    fresh = SyntheticVideoSource(height=32, width=40)
+    np.testing.assert_array_equal(
+        fresh.get_batch("vid", np.array([0, 2, 5, 2])), first)
+    assert len(a._cache) > 0
+
+
 def test_shared_crop_box_is_one_per_video():
     rng = np.random.default_rng(0)
     boxes = {transforms.random_resized_crop_bbox(100, 120, rng) for _ in range(5)}

@@ -174,6 +174,28 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
                        runtime=runtime)
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache for CLI runs: a full Swin-B
+    adapt+eval step is tens of minutes of compile; repeated sweeps /
+    precompute+TTA pairs re-use the cached executables.  Same dir the
+    test conftest uses (entries are keyed by platform+HLO, so CPU/TPU
+    coexist).  Opt out with VITTA_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("VITTA_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+    cache_dir = os.environ.get(
+        "VITTA_JAX_CACHE", os.path.expanduser("~/.cache/vitta_jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is best-effort; never fail a run over it
+
+
 def get_opts(argv=None):
     args = build_parser().parse_args(argv)
+    enable_compile_cache()
     return args, config_from_args(args)

@@ -19,7 +19,7 @@ dataset_type:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -172,17 +172,28 @@ class SwinVideoDataset:
     def __len__(self):
         return len(self.records)
 
-    def _resize_short(self, frames: np.ndarray) -> np.ndarray:
-        h, w = frames.shape[1:3]
-        short = min(h, w)
-        if short == self.scale_size:
-            return frames
+    def _short_dims(self, h: int, w: int) -> Tuple[int, int]:
+        """Output dims of the short-side-to-scale_size resize (identity
+        when the short side already matches)."""
+        if min(h, w) == self.scale_size:
+            return h, w
         if w < h:
-            ow, oh = self.scale_size, int(self.scale_size * h / w + 0.5)
-        else:
-            oh, ow = self.scale_size, int(self.scale_size * w / h + 0.5)
+            return int(self.scale_size * h / w + 0.5), self.scale_size
+        return self.scale_size, int(self.scale_size * w / h + 0.5)
+
+    def _resize_short_crop(self, frames: np.ndarray, y0: int, x0: int,
+                           ch: int, cw: int) -> np.ndarray:
+        """Short-side resize then crop, fused: only the pixels inside the
+        crop window are resampled (bit-identical to resize-then-crop —
+        csrc resize_bilinear_u8_window).  Skips the resample entirely
+        when the short side already matches scale_size."""
         from vitta_tpu.data import native
-        return native.resize_bilinear(frames, oh, ow, antialias=False)
+        h, w = frames.shape[1:3]
+        oh, ow = self._short_dims(h, w)
+        if (oh, ow) == (h, w):
+            return native.crop(frames, y0, x0, ch, cw)
+        return native.resize_bilinear_window(frames, oh, ow, y0, x0, ch, cw,
+                                             antialias=False)
 
     def __getitem__(self, i: int) -> Sample:
         from vitta_tpu.data import native
@@ -200,11 +211,10 @@ class SwinVideoDataset:
                                             self.view_style, self.n_views,
                                             rng)
             frames = self.source.get_batch(rec.path, idx)
-            frames = self._resize_short(frames)
-            h, w = frames.shape[1:3]
+            h, w = self._short_dims(*frames.shape[1:3])
             # one crop box for ALL frames/views (transforms_backup.py:193-349)
             x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, rng)
-            frames = native.crop(frames, y, x, ch, cw)
+            frames = self._resize_short_crop(frames, y, x, ch, cw)
             frames = native.resize_bilinear(frames, self.input_size,
                                             self.input_size, antialias=False)
             n_views = (idx.shape[0] // self.clip_len)
@@ -220,11 +230,11 @@ class SwinVideoDataset:
                     rec.num_frames, self.clip_len, self.frame_interval,
                     self.num_clips)
             frames = self.source.get_batch(rec.path, idx)
-            frames = self._resize_short(frames)
-            h, w = frames.shape[1:3]
+            h, w = self._short_dims(*frames.shape[1:3])
             yy = (h - self.input_size) // 2
             xx = (w - self.input_size) // 2
-            frames = native.crop(frames, yy, xx, self.input_size, self.input_size)
+            frames = self._resize_short_crop(frames, yy, xx,
+                                             self.input_size, self.input_size)
             n_clips = idx.shape[0] // self.clip_len
             views = frames.reshape(n_clips, self.clip_len, *frames.shape[1:])
         if self.emit_uint8:

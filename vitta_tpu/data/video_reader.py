@@ -21,6 +21,7 @@ are already clamped by the samplers.
 
 from __future__ import annotations
 
+import collections
 import hashlib
 import os
 import threading
@@ -186,11 +187,20 @@ class SyntheticVideoSource(VideoSource):
     A class-dependent spatial pattern makes tiny end-to-end accuracy
     sanity checks possible."""
 
+    # rendered frames are deterministic in (path, t, h, w) — cache them
+    # across get_batch calls so repeated sampling of the same video
+    # (TTA views + eval clip, bench loops) pays the render once.  ~256 KB
+    # per 256x340 frame; the cap bounds the cache at ~1 GB.
+    _CACHE_CAP = 4096
+
     def __init__(self, height: int = 240, width: int = 320,
                  frames_per_video: int = 120):
         self.height = height
         self.width = width
         self.frames_per_video = frames_per_video
+        self._cache: "collections.OrderedDict[tuple, np.ndarray]" = \
+            collections.OrderedDict()
+        self._cache_lock = threading.Lock()  # Prefetcher shares one source
 
     def _seed(self, path: str) -> int:
         return int.from_bytes(hashlib.md5(path.encode()).digest()[:4], "little")
@@ -218,6 +228,14 @@ class SyntheticVideoSource(VideoSource):
         out = np.empty((len(idx), h, w, 3), np.uint8)
         scratch = np.empty((h, w), np.float32)
         for i, t in enumerate(idx):
+            key = (path, int(t), h, w)
+            with self._cache_lock:
+                hit = self._cache.get(key)
+                if hit is not None:
+                    self._cache.move_to_end(key)
+            if hit is not None:
+                out[i] = hit
+                continue
             phase = 2 * np.pi * (float(t) / max(n, 1))
             sx = np.sin(xs + phase)
             cy = np.cos(ys - phase)
@@ -229,6 +247,10 @@ class SyntheticVideoSource(VideoSource):
                 f += 127.0
                 np.clip(f, 0, 255, out=f)
                 out[i, :, :, ch] = f
+            with self._cache_lock:
+                self._cache[key] = out[i].copy()
+                if len(self._cache) > self._CACHE_CAP:
+                    self._cache.popitem(last=False)
         return out
 
 
