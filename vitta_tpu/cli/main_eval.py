@@ -100,12 +100,21 @@ def load_source_stats(cfg: VittaConfig):
 
 
 def make_datasets(cfg: VittaConfig, source_kind: str = "decord",
-                  records=None, seed: int = 0):
+                  records=None, seed: int = 0,
+                  emit_uint8: Optional[bool] = None):
+    """emit_uint8 defaults to the TTA mode: the engine normalizes uint8
+    frames device-side (engine._maybe_normalize), so the live loop ships
+    4x fewer H2D bytes and skips the host normalize.  Baselines consume
+    host-normalized float frames (BaselineBase.evaluate applies the model
+    directly)."""
     from vitta_tpu.data.dataset import dataset_cls_for
     source = make_video_source(source_kind, cfg.data.video_data_dir,
                                cfg.data.vid_format)
+    if emit_uint8 is None:
+        emit_uint8 = bool(cfg.tta.tta)
     paired = PairedTTADataset(cfg, source, records, seed=seed,
-                              dataset_cls=dataset_cls_for(cfg.model.arch))
+                              dataset_cls=dataset_cls_for(cfg.model.arch),
+                              emit_uint8=emit_uint8)
     return paired
 
 
