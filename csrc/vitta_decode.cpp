@@ -44,7 +44,8 @@ struct Decoder {
   int stream_index = -1;
   int width = 0;
   int height = 0;
-  std::vector<int64_t> pts;  // display-order timestamps, one per frame
+  std::vector<int64_t> pts;      // display-order timestamps, one per frame
+  std::vector<int64_t> key_pts;  // timestamps of keyframe packets (sorted)
   int64_t cursor_pts = INT64_MIN;  // pts of the last frame emitted
   bool eof_sent = false;
 };
@@ -77,6 +78,7 @@ bool build_index(Decoder* d) {
         break;
       }
       d->pts.push_back(t);
+      if (pkt->flags & AV_PKT_FLAG_KEY) d->key_pts.push_back(t);
     }
     av_packet_unref(pkt);
   }
@@ -84,6 +86,7 @@ bool build_index(Decoder* d) {
   av_packet_free(&pkt);
   if (!ok) return false;
   std::sort(d->pts.begin(), d->pts.end());
+  std::sort(d->key_pts.begin(), d->key_pts.end());
   if (d->pts.empty()) return false;
   // rewind for decoding
   av_seek_frame(d->fmt, d->stream_index, d->pts.front(),
@@ -138,6 +141,25 @@ bool decode_to(Decoder* d, int64_t target) {
     av_seek_frame(d->fmt, d->stream_index, target, AVSEEK_FLAG_BACKWARD);
     avcodec_flush_buffers(d->codec);
     d->eof_sent = false;
+  } else if (!behind && !d->key_pts.empty()) {
+    // Forward skip: when the last keyframe at-or-before the target lies
+    // ahead of the cursor by more than a few frames, seeking there is
+    // cheaper than decoding every intermediate frame (only matters for
+    // streams with short GOPs; on one-keyframe files this never fires).
+    auto it = std::upper_bound(d->key_pts.begin(), d->key_pts.end(), target);
+    if (it != d->key_pts.begin()) {
+      const int64_t kf = *(it - 1);
+      if (kf > d->cursor_pts) {
+        const auto lo = std::upper_bound(d->pts.begin(), d->pts.end(),
+                                         d->cursor_pts);
+        const auto hi = std::lower_bound(d->pts.begin(), d->pts.end(), kf);
+        if (hi - lo > 3) {  // seek+flush overhead vs frames skipped
+          av_seek_frame(d->fmt, d->stream_index, target, AVSEEK_FLAG_BACKWARD);
+          avcodec_flush_buffers(d->codec);
+          d->eof_sent = false;
+        }
+      }
+    }
   }
   while (next_frame(d)) {
     int64_t t = frame_pts(d->frame);

@@ -126,3 +126,30 @@ def test_end_to_end_tta_stream():
     ds_eval = TANetVideoDataset(cfg, vsrc, records(2), dataset_type="eval")
     top1, top5 = validate(engine, [ds_eval[i] for i in range(2)])
     assert 0.0 <= top1 <= 100.0 and top1 <= top5
+
+
+def test_paired_fused_decode_matches_two_call():
+    """PairedTTADataset's union-decode must be byte-identical to the
+    original two-get_batch path, for both dataset families."""
+    from vitta_tpu.config import swin_ucf101_preset
+    from vitta_tpu.data.dataset import SwinVideoDataset
+
+    src = SyntheticVideoSource(height=48, width=64, frames_per_video=60)
+    recs = records(3)
+    cfg = tiny_cfg()
+    for cls, c in ((TANetVideoDataset, cfg),
+                   (SwinVideoDataset, swin_ucf101_preset().replace(
+                       data=dataclasses.replace(
+                           swin_ucf101_preset().data, clip_length=T,
+                           input_size=HW, scale_size=40)))):
+        for u8 in (False, True):
+            fused = PairedTTADataset(c, src, recs, seed=11, dataset_cls=cls,
+                                     emit_uint8=u8, fuse_decode=True)
+            plain = PairedTTADataset(c, src, recs, seed=11, dataset_cls=cls,
+                                     emit_uint8=u8, fuse_decode=False)
+            for i in range(len(recs)):
+                fa, fb, fl = fused[i]
+                pa, pb, pl = plain[i]
+                np.testing.assert_array_equal(fa, pa)
+                np.testing.assert_array_equal(fb, pb)
+                assert fl == pl

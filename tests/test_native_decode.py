@@ -150,3 +150,50 @@ def test_dataset_end_to_end_with_native_decode(tiny_avi, tmp_path):
     assert s.label == 3
     s2 = ds[0]
     np.testing.assert_array_equal(s.frames, s2.frames)  # per-index RNG
+
+
+def test_paired_fused_decode_native(tiny_avi):
+    """Union-decode equivalence over the real container: one get_batch
+    on the sorted-unique tta+eval indices must reproduce the two-call
+    PairedTTADataset output bit-for-bit (same keyframe-seek decode)."""
+    from vitta_tpu.config import tanet_ucf101_preset
+    from vitta_tpu.data.dataset import PairedTTADataset
+    from vitta_tpu.data.records import VideoRecord
+    from vitta_tpu.data.video_reader import FFmpegVideoSource
+
+    d, name = os.path.split(tiny_avi)
+    cfg = tanet_ucf101_preset()
+    rec = [VideoRecord(name, 25, 3)]
+    fused = PairedTTADataset(cfg, FFmpegVideoSource(d), rec, seed=7,
+                             fuse_decode=True)
+    plain = PairedTTADataset(cfg, FFmpegVideoSource(d), rec, seed=7,
+                             fuse_decode=False)
+    fa, fb, fl = fused[0]
+    pa, pb, pl = plain[0]
+    np.testing.assert_array_equal(fa, pa)
+    np.testing.assert_array_equal(fb, pb)
+    assert fl == pl
+
+
+def test_forward_seek_bit_exact(tmp_path_factory):
+    """Sparse forward access (which triggers the keyframe forward-skip)
+    must produce bit-identical pixels to a full sequential decode —
+    both paths decode the same reference chain from the same keyframe."""
+    rng = np.random.default_rng(3)
+    n, h, w = 100, 48, 64
+    t = np.arange(n, dtype=np.float32)[:, None, None, None]
+    base = (np.linspace(0, 255, h)[None, :, None, None]
+            + np.linspace(0, 255, w)[None, None, :, None] + 5 * t) % 256
+    frames = (base + rng.integers(0, 8, (n, h, w, 3))).astype(np.uint8)
+    path = str(tmp_path_factory.mktemp("vid") / "long.avi")
+    native_decode.write_test_video(path, frames, fps=25, gop=7)
+
+    vr = native_decode.NativeVideoReader(path)
+    full = vr.get_batch(np.arange(len(vr)))
+    sparse = np.array([3, 40, 41, 95])       # gaps >> gop: seek path
+    got = vr.get_batch(sparse)
+    np.testing.assert_array_equal(got, full[sparse])
+    # backward then sparse-forward again on the warm cursor
+    got2 = vr.get_batch(np.array([10, 60]))
+    np.testing.assert_array_equal(got2, full[[10, 60]])
+    vr.close()

@@ -74,10 +74,27 @@ class TANetVideoDataset:
         return np.random.default_rng(np.random.SeedSequence(
             entropy=self.seed, spawn_key=(i,)))
 
-    def _tta_item(self, rec: VideoRecord, rng: np.random.Generator) -> np.ndarray:
-        idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
-                                        self.view_style, self.n_views, rng)
-        frames = self._decode(rec, idx)          # (V*T or T, H, W, 3)
+    def sample_indices(self, i: int):
+        """Frame indices item ``i`` will decode, plus the RNG to finish
+        building it with (``build``) — lets :class:`PairedTTADataset`
+        decode the union of the tta+eval indices once per video."""
+        rec = self.records[i]
+        if self.dataset_type == "tta":
+            rng = self._rng_for(i)
+            idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
+                                            self.view_style, self.n_views, rng)
+            return idx, rng
+        return sampling.sample_test(rec.num_frames, self.clip_len,
+                                    self.sample_style), None
+
+    def _tta_item(self, rec: VideoRecord, rng: np.random.Generator,
+                  idx: Optional[np.ndarray] = None,
+                  frames: Optional[np.ndarray] = None) -> np.ndarray:
+        if idx is None:
+            idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
+                                            self.view_style, self.n_views, rng)
+        if frames is None:
+            frames = self._decode(rec, idx)      # (V*T or T, H, W, 3)
         if idx.shape[0] == self.clip_len:        # single-clip styles
             frames = np.tile(frames, (self.n_views, 1, 1, 1))
         views = frames.reshape(self.n_views, self.clip_len, *frames.shape[1:])
@@ -91,10 +108,15 @@ class TANetVideoDataset:
             return views
         return transforms.normalize_clip(views, self.mean, self.std)
 
-    def _eval_item(self, rec: VideoRecord) -> np.ndarray:
-        idx = sampling.sample_test(rec.num_frames, self.clip_len, self.sample_style)
+    def _eval_item(self, rec: VideoRecord,
+                   idx: Optional[np.ndarray] = None,
+                   frames: Optional[np.ndarray] = None) -> np.ndarray:
+        if idx is None:
+            idx = sampling.sample_test(rec.num_frames, self.clip_len,
+                                       self.sample_style)
+        if frames is None:
+            frames = self._decode(rec, idx)
         n_clips = idx.shape[0] // self.clip_len
-        frames = self._decode(rec, idx)
         clips = frames.reshape(n_clips, self.clip_len, *frames.shape[1:])
         out = []
         for clip in clips:
@@ -109,26 +131,27 @@ class TANetVideoDataset:
             return views
         return transforms.normalize_clip(views, self.mean, self.std)
 
-    def _raw_item(self, rec: VideoRecord) -> np.ndarray:
-        """Decoded test-sampled frames with no crop/resize/normalize —
-        DUA's adaptation source (second dataset of the
-        ``get_dataset_tanet_dua`` pair, basics.py:1330-1347: Stack +
-        ToTensor only)."""
-        idx = sampling.sample_test(rec.num_frames, self.clip_len,
-                                   self.sample_style)
-        return self._decode(rec, idx)            # (n_clips*T, H, W, 3) uint8
-
-    def __getitem__(self, i: int) -> Sample:
+    def build(self, i: int, idx: np.ndarray, frames: np.ndarray,
+              rng: Optional[np.random.Generator]) -> Sample:
+        """Finish item ``i`` from pre-decoded ``frames`` at ``idx``."""
         rec = self.records[i]
         if self.dataset_type == "tta":
-            frames = self._tta_item(rec, self._rng_for(i))
+            out = self._tta_item(rec, rng, idx=idx, frames=frames)
         elif self.dataset_type == "raw":
-            return Sample(frames=self._raw_item(rec).astype(np.uint8),
-                          label=rec.label, index=i)
+            # test-sampled frames with no crop/resize/normalize — DUA's
+            # adaptation source (second dataset of the
+            # get_dataset_tanet_dua pair, basics.py:1330-1347)
+            return Sample(frames=frames.astype(np.uint8), label=rec.label,
+                          index=i)
         else:
-            frames = self._eval_item(rec)
+            out = self._eval_item(rec, idx=idx, frames=frames)
         dtype = np.uint8 if self.emit_uint8 else np.float32
-        return Sample(frames=frames.astype(dtype), label=rec.label, index=i)
+        return Sample(frames=out.astype(dtype), label=rec.label, index=i)
+
+    def __getitem__(self, i: int) -> Sample:
+        idx, rng = self.sample_indices(i)
+        frames = self._decode(self.records[i], idx)
+        return self.build(i, idx, frames, rng)
 
 
 class SwinVideoDataset:
@@ -195,22 +218,31 @@ class SwinVideoDataset:
         return native.resize_bilinear_window(frames, oh, ow, y0, x0, ch, cw,
                                              antialias=False)
 
-    def __getitem__(self, i: int) -> Sample:
-        from vitta_tpu.data import native
+    def sample_indices(self, i: int):
+        """Frame indices item ``i`` will decode + the RNG ``build`` needs
+        (see :meth:`TANetVideoDataset.sample_indices`)."""
         rec = self.records[i]
-        if self.dataset_type == "raw":
-            idx = sampling.sample_seq_frames(rec.num_frames, self.clip_len,
-                                             test_mode=True)
-            frames = self.source.get_batch(rec.path, idx)
-            return Sample(frames=frames.astype(np.uint8), label=rec.label,
-                          index=i)
         if self.dataset_type == "tta":
             rng = np.random.default_rng(np.random.SeedSequence(
                 entropy=self.seed, spawn_key=(i,)))
-            idx = sampling.sample_tta_views(rec.num_frames, self.clip_len,
-                                            self.view_style, self.n_views,
-                                            rng)
-            frames = self.source.get_batch(rec.path, idx)
+            return sampling.sample_tta_views(rec.num_frames, self.clip_len,
+                                             self.view_style, self.n_views,
+                                             rng), rng
+        if self.dataset_type == "raw" or self.frame_uniform:
+            return sampling.sample_seq_frames(rec.num_frames, self.clip_len,
+                                              test_mode=True), None
+        return sampling.sample_dense_clips_test(
+            rec.num_frames, self.clip_len, self.frame_interval,
+            self.num_clips), None
+
+    def build(self, i: int, idx: np.ndarray, frames: np.ndarray,
+              rng: Optional[np.random.Generator]) -> Sample:
+        from vitta_tpu.data import native
+        rec = self.records[i]
+        if self.dataset_type == "raw":
+            return Sample(frames=frames.astype(np.uint8), label=rec.label,
+                          index=i)
+        if self.dataset_type == "tta":
             h, w = self._short_dims(*frames.shape[1:3])
             # one crop box for ALL frames/views (transforms_backup.py:193-349)
             x, y, cw, ch = transforms.random_resized_crop_bbox(h, w, rng)
@@ -222,14 +254,6 @@ class SwinVideoDataset:
             if n_views == 1 and self.n_views > 1:
                 views = np.tile(views, (self.n_views, 1, 1, 1, 1))
         else:
-            if self.frame_uniform:
-                idx = sampling.sample_seq_frames(rec.num_frames, self.clip_len,
-                                                 test_mode=True)
-            else:
-                idx = sampling.sample_dense_clips_test(
-                    rec.num_frames, self.clip_len, self.frame_interval,
-                    self.num_clips)
-            frames = self.source.get_batch(rec.path, idx)
             h, w = self._short_dims(*frames.shape[1:3])
             yy = (h - self.input_size) // 2
             xx = (w - self.input_size) // 2
@@ -244,6 +268,11 @@ class SwinVideoDataset:
                                         scale_255=False)
         return Sample(frames=out.astype(np.float32), label=rec.label, index=i)
 
+    def __getitem__(self, i: int) -> Sample:
+        idx, rng = self.sample_indices(i)
+        frames = self.source.get_batch(self.records[i].path, idx)
+        return self.build(i, idx, frames, rng)
+
 
 def dataset_cls_for(arch: str):
     return SwinVideoDataset if arch == "videoswintransformer" else TANetVideoDataset
@@ -251,19 +280,42 @@ def dataset_cls_for(arch: str):
 
 class PairedTTADataset:
     """Lock-step (tta views, eval clip) pairs of the same video — the
-    reference iterates two DataLoaders in parallel (basics.py:475, 693)."""
+    reference iterates two DataLoaders in parallel (basics.py:475, 693).
+
+    Both halves read the same video, so the decode is fused: ONE
+    ``get_batch`` on the sorted union of the tta+eval frame indices,
+    then frames are distributed to each half.  Video decoders pay per
+    frame *decoded*, not per frame returned (inter-frame dependencies
+    force a forward decode from the preceding keyframe), so two
+    separate calls decode most of the video twice — measured ~1.9x the
+    decode cost of the union call on a 250-frame mpeg4
+    (benchmarks/PERF.md host section).  ``fuse_decode=False`` restores
+    the two-call behavior (used by its equivalence test)."""
 
     def __init__(self, cfg: VittaConfig, source: VideoSource,
                  records: Optional[List[VideoRecord]] = None, seed: int = 0,
-                 dataset_cls=TANetVideoDataset, emit_uint8: bool = False):
+                 dataset_cls=TANetVideoDataset, emit_uint8: bool = False,
+                 fuse_decode: bool = True):
         self.tta = dataset_cls(cfg, source, records, dataset_type="tta",
                                seed=seed, emit_uint8=emit_uint8)
         self.eval = dataset_cls(cfg, source, self.tta.records, dataset_type="eval",
                                 seed=seed + 1, emit_uint8=emit_uint8)
+        self.source = source
+        self.fuse_decode = fuse_decode
 
     def __len__(self):
         return len(self.tta)
 
     def __getitem__(self, i: int):
-        a, b = self.tta[i], self.eval[i]
+        if self.fuse_decode:
+            t_idx, t_rng = self.tta.sample_indices(i)
+            e_idx, e_rng = self.eval.sample_indices(i)
+            union = np.unique(np.concatenate([t_idx, e_idx]))
+            frames = self.source.get_batch(self.tta.records[i].path, union)
+            a = self.tta.build(i, t_idx, frames[np.searchsorted(union, t_idx)],
+                               t_rng)
+            b = self.eval.build(i, e_idx,
+                                frames[np.searchsorted(union, e_idx)], e_rng)
+        else:
+            a, b = self.tta[i], self.eval[i]
         return a.frames, b.frames, np.asarray([a.label], np.int32)
