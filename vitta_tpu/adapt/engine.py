@@ -122,6 +122,34 @@ class TTAState(NamedTuple):
     batch_stats: Any = {}  # BN running stats; carried (and updated each
                            # adapt forward) when fix_BNS=False
                            # (corpus/basics.py:606-611)
+    params_half: Any = None  # compute-dtype twin of the flax-cast param
+                             # leaves (Swin bf16 mode) — kills the bulk
+                             # f32->bf16 convert both forwards otherwise
+                             # pay per step (~0.65 ms each for 88 M
+                             # params); emitted fused with the SGD update
+
+
+def half_cast_flags(params, scope: str = "backbone"):
+    """True for every leaf of a ``scope``-subtree module that owns a
+    ``kernel`` — exactly the leaves flax's promote_dtype casts to the
+    compute dtype in Swin (Dense/Conv kernel+bias, the fused-MLP
+    _DenseParams pairs).  Norm scale/bias and the rel-pos tables stay
+    f32 (their modules do f32 math on f32 masters), and the classifier
+    head outside ``scope`` is f32 by design (models/swin.py I3DHead), so
+    pre-casting the flagged set is value-identical to the in-model
+    cast."""
+    from collections.abc import Mapping
+
+    def walk(node, cast, in_scope):
+        if isinstance(node, Mapping):
+            here = cast or (in_scope and "kernel" in node)
+            return {k: walk(v, here, in_scope or k == scope)
+                    for k, v in node.items()}
+        return cast
+
+    # with no scope subtree at the root (backbone-only param trees), the
+    # whole tree is in scope
+    return walk(params, False, scope not in params)
 
 
 class StepMetrics(NamedTuple):
@@ -224,6 +252,18 @@ class VittaEngine:
         from vitta_tpu.adapt.optim import (build_optimizer, fused_sgd_mask,
                                            fused_sgd_step)
         self._fused_sgd = not cfg.optim.update_only_bn_affine
+        # bf16-twin mode (Swin only: there, every kernel-owning module is
+        # dtype-threaded, so the twin is value-identical — see
+        # half_cast_flags; TANet keeps new_fc/TAM in f32 by design)
+        try:
+            compute_dtype = jnp.dtype(getattr(model, "dtype", jnp.float32))
+        except TypeError:
+            compute_dtype = jnp.float32
+        self._half = (self._fused_sgd
+                      and compute_dtype == jnp.bfloat16
+                      and cfg.model.arch == "videoswintransformer")
+        self._half_flags = (half_cast_flags(self.init_params)
+                            if self._half else None)
         if self._fused_sgd:
             self.tx = None
             self._sgd_mask = fused_sgd_mask(self.init_params, cfg.model.arch,
@@ -269,7 +309,19 @@ class VittaEngine:
             ema=zeros_ema,
             step=jnp.zeros((), jnp.int32),
             batch_stats=self.batch_stats,
+            params_half=self._cast_half(self.init_params),
         )
+
+    def _cast_half(self, params):
+        """Compute-dtype twin of the flagged leaves (None when the twin
+        mode is off).  Inside the jitted step XLA fuses the per-leaf cast
+        into the SGD update fusion that produced the leaf — no separate
+        HBM pass."""
+        if not self._half:
+            return None
+        return jax.tree_util.tree_map(
+            lambda p, f: p.astype(jnp.bfloat16) if f else p,
+            params, self._half_flags)
 
     # ------------------------------------------------------------------
     def _maybe_normalize(self, x):
@@ -374,14 +426,20 @@ class VittaEngine:
 
         params, opt_state, ema = state.params, state.opt_state, state.ema
         batch_stats = state.batch_stats
+        # twin mode: the forwards consume the carried compute-dtype twin;
+        # the cast's VJP is the identity on values (flax would cast the
+        # same leaves anyway), so grads/trajectories are unchanged while
+        # the bulk f32->bf16 converts disappear from the step
+        fwd_params = state.params_half if self._half else params
         loss_reg = loss_consis = jnp.float32(0.0)
         loss_ce = jnp.float32(0.0)
         for gs in range(self.cfg.tta.n_gradient_steps):
             step_rng = jax.random.fold_in(rng, gs)
             grads, (loss_reg, loss_consis, mean_logits, ema,
-                    batch_stats) = grad_fn(params, ema, batch_stats, views,
-                                           step_rng)
+                    batch_stats) = grad_fn(fwd_params, ema, batch_stats,
+                                           views, step_rng)
             params, opt_state = self._sgd_step(params, opt_state, grads)
+            fwd_params = self._cast_half(params) if self._half else params
             loss_ce = cross_entropy(mean_logits, label)
         # detach EMA carry (the meter's sum is detached between steps)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
@@ -389,12 +447,13 @@ class VittaEngine:
         # inference on the eval clip with updated params, no taps
         # (model.eval() at basics.py:692: running-average normalization,
         # which under fix_BNS=False uses the just-updated running stats)
-        eval_logits = self._apply_eval(params, eval_clip, batch_stats)
+        eval_logits = self._apply_eval(fwd_params, eval_clip, batch_stats)
         top1, top5 = topk_accuracy(eval_logits, label)
         metrics = StepMetrics(loss_reg, loss_consis, loss_ce, top1, top5,
                               jnp.argmax(eval_logits, -1))
         new_state = TTAState(params, opt_state, ema,
-                             state.step + 1, batch_stats)
+                             state.step + 1, batch_stats,
+                             fwd_params if self._half else None)
         return new_state, metrics
 
     def _apply_eval(self, params, eval_clip, batch_stats=None):
@@ -416,14 +475,16 @@ class VittaEngine:
         """Adaptation without the per-sample eval — the epoch-style legacy
         loop ``test_time_adapt`` (basics.py:760-1084) adapts over the whole
         stream first and evaluates once at the end."""
+        fwd_params = state.params_half if self._half else state.params
         grads, (loss_reg, loss_consis, mean_logits, ema, batch_stats) = \
             jax.grad(self._losses, has_aux=True)(
-                state.params, state.ema, state.batch_stats, views, rng)
+                fwd_params, state.ema, state.batch_stats, views, rng)
         params, opt_state = self._sgd_step(state.params, state.opt_state,
                                            grads)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
         loss_ce = cross_entropy(mean_logits, label)
-        return TTAState(params, opt_state, ema, state.step + 1, batch_stats), \
+        return TTAState(params, opt_state, ema, state.step + 1, batch_stats,
+                        self._cast_half(params)), \
             (loss_reg, loss_consis, loss_ce)
 
     def adapt_step(self, state: TTAState, views, label, rng):
