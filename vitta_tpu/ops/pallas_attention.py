@@ -92,15 +92,20 @@ def _bwd_kernel(qb, kb, vb, bias_b, mask_b, gb,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
     b = pl.program_id(1)
     e, s = _softmax_parts(_logits(qb, kb, bias_b, mask_b, scale))
-    p = e / s                                                   # (N, N) f32
-    pc = p.astype(qb.dtype)
-    # dv = p^T @ g
-    dv = jax.lax.dot_general(pc, gb[0, 0], (((0,), (0,)), ((), ())),
+    # fold 1/s into the (N, hd)/(N, 1) consumers like the forward does —
+    # p = e/s would be an (N, N) f32 divide on the VPU:
+    #   dv = p^T g          = e^T (g * inv)
+    #   rowsum(dp * p)      = rowsum(dp * e) * inv
+    #   dl = p * (dp - rs)  = e * (dp - rs) * inv
+    inv = 1.0 / s                                               # (N, 1)
+    gs = (gb[0, 0].astype(jnp.float32) * inv).astype(qb.dtype)
+    dv = jax.lax.dot_general(e.astype(qb.dtype), gs,
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # dp = g @ v^T ; dlogits = p * (dp - rowsum(dp * p))
     dp = jax.lax.dot_general(gb[0, 0], vb[0, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    rs = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
+    dl = e * (dp - rs) * inv
     dlc = dl.astype(qb.dtype)
     dq = jax.lax.dot_general(dlc, kb[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
@@ -295,13 +300,17 @@ def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
         gh = g[:, h * hd:(h + 1) * hd]
         e, s = _softmax_parts(_packed_logits(q, k, bias_ref[h], mask_ref,
                                              scale))
-        p = e / s                                      # (N, N) f32
-        pc = p.astype(blk.dtype)
-        dv = jax.lax.dot_general(pc, gh, (((0,), (0,)), ((), ())),
+        # 1/s folded into the narrow consumers (see _bwd_kernel): no
+        # (N, N) f32 divide, one broadcast multiply chain instead
+        inv = 1.0 / s                                  # (N, 1) f32
+        gs = (gh.astype(jnp.float32) * inv).astype(blk.dtype)
+        dv = jax.lax.dot_general(e.astype(blk.dtype), gs,
+                                 (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        rs = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
+        dl = e * (dp - rs) * inv
         dbias_ref[h] += dl
         dlc = dl.astype(blk.dtype)
         dq = jax.lax.dot_general(dlc, k, (((1,), (0,)), ((), ())),
