@@ -270,25 +270,35 @@ def _packed_logits(q, k, bias_h, mask_b, scale):
     return l
 
 
-def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, scale, nh, hd):
+def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
+                       *, scale, nh, hd):
     blk = qkv_ref[0]                                   # (N, 3C)
-    outs = []
+    outs, ms = [], []
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
-        e, s = _softmax_parts(_packed_logits(q, k, bias_ref[h], mask_ref,
-                                             scale))
+        l = _packed_logits(q, k, bias_ref[h], mask_ref, scale)
+        m = jnp.max(l, axis=-1, keepdims=True)
+        e = jnp.exp(l - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(e.astype(blk.dtype), v,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         outs.append((oh / s).astype(o_ref.dtype))
+        if ms_ref is not None:
+            ms.extend([m, s])
     o_ref[0] = jnp.concatenate(outs, axis=1)
+    if ms_ref is not None:
+        # softmax row max+sum per head — the backward skips both
+        # cross-lane (N, N) reductions by re-reading these
+        ms_ref[0] = jnp.concatenate(ms, axis=1)        # (N, 2nh) f32
 
 
-def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
+def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
                        dqkv_ref, dbias_ref, *, scale, nh, hd):
     b = pl.program_id(0)
     blk = qkv_ref[0]
     g = g_ref[0]                                       # (N, C)
+    ms = ms_ref[0]                                     # (N, 2nh) f32
 
     @pl.when(b == 0)
     def _():
@@ -298,8 +308,12 @@ def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
         gh = g[:, h * hd:(h + 1) * hd]
-        e, s = _softmax_parts(_packed_logits(q, k, bias_ref[h], mask_ref,
-                                             scale))
+        # softmax numerator from the forward-saved row max/sum: the
+        # logits matmul is re-done (MXU), but both cross-lane (N, N)
+        # reductions are skipped
+        l = _packed_logits(q, k, bias_ref[h], mask_ref, scale)
+        e = jnp.exp(l - ms[:, 2 * h:2 * h + 1])
+        s = ms[:, 2 * h + 1:2 * h + 2]
         # 1/s folded into the narrow consumers (see _bwd_kernel): no
         # (N, N) f32 divide, one broadcast multiply chain instead
         inv = 1.0 / s                                  # (N, 1) f32
@@ -339,8 +353,10 @@ def _packed_specs(n, c3, nh, nw, with_mask):
     return ins, qkv
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
-def _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "nh", "save_ms", "interpret"))
+def _packed_attn_fwd(qkv, bias, mask, scale, nh, save_ms=False,
+                     interpret=False):
     b_, n, c3 = qkv.shape
     hd = c3 // 3 // nh
     with_mask = mask is not None
@@ -349,6 +365,11 @@ def _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=False):
     if with_mask:
         kern = functools.partial(_packed_fwd_kernel, scale=scale, nh=nh,
                                  hd=hd)
+    elif save_ms:
+        kern = functools.partial(
+            lambda qr, br, o, msr, **kw:
+            _packed_fwd_kernel(qr, br, None, o, msr, **kw),
+            scale=scale, nh=nh, hd=hd)
     else:
         kern = functools.partial(
             lambda qr, br, o, **kw: _packed_fwd_kernel(qr, br, None, o, **kw),
@@ -356,19 +377,26 @@ def _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=False):
     args = (qkv, bias) + ((mask,) if with_mask else ())
     out_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out_specs = [out_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b_, n, c3 // 3), qkv.dtype)]
+    if save_ms:
+        out_specs.append(pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((b_, n, 2 * nh), jnp.float32))
+    res = pl.pallas_call(
         kern,
         grid=(b_,),
         in_specs=ins,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b_, n, c3 // 3), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*args)
+    return res if save_ms else res[0]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
-def _packed_attn_bwd(qkv, bias, mask, g, scale, nh, interpret=False):
+def _packed_attn_bwd(qkv, bias, mask, ms, g, scale, nh, interpret=False):
     b_, n, c3 = qkv.shape
     hd = c3 // 3 // nh
     with_mask = mask is not None
@@ -376,18 +404,20 @@ def _packed_attn_bwd(qkv, bias, mask, g, scale, nh, interpret=False):
     ins, qkv_spec = _packed_specs(n, c3, nh, nw, with_mask)
     g_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
+    ms_spec = pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    ins = ins + [g_spec]
+    ins = ins + [ms_spec, g_spec]
     if with_mask:
         kern = functools.partial(_packed_bwd_kernel, scale=scale, nh=nh,
                                  hd=hd)
     else:
         kern = functools.partial(
-            lambda qr, br, gr, dq, db, **kw:
-            _packed_bwd_kernel(qr, br, None, gr, dq, db, **kw),
+            lambda qr, br, msr, gr, dq, db, **kw:
+            _packed_bwd_kernel(qr, br, None, msr, gr, dq, db, **kw),
             scale=scale, nh=nh, hd=hd)
-    args = (qkv, bias) + ((mask,) if with_mask else ()) + (g,)
+    args = (qkv, bias) + ((mask,) if with_mask else ()) + (ms, g)
     return pl.pallas_call(
         kern,
         grid=(b_,),
@@ -408,13 +438,14 @@ def _packed_attn(qkv, bias, mask, scale, nh, interpret=False):
 
 
 def _packed_attn_vjp_fwd(qkv, bias, mask, scale, nh, interpret):
-    out = _packed_attn_fwd(qkv, bias, mask, scale, nh, interpret=interpret)
-    return out, (qkv, bias, mask)
+    out, ms = _packed_attn_fwd(qkv, bias, mask, scale, nh, save_ms=True,
+                               interpret=interpret)
+    return out, (qkv, bias, mask, ms)
 
 
 def _packed_attn_vjp_bwd(scale, nh, interpret, res, g):
-    qkv, bias, mask = res
-    dqkv, dbias = _packed_attn_bwd(qkv, bias, mask, g, scale, nh,
+    qkv, bias, mask, ms = res
+    dqkv, dbias = _packed_attn_bwd(qkv, bias, mask, ms, g, scale, nh,
                                    interpret=interpret)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dqkv, dbias.astype(bias.dtype), dmask
