@@ -156,3 +156,81 @@ def test_swin_block_uses_fused_path_equivalently():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=2e-4, atol=2e-4),
         g_ref, g_pal)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_proj_fused_forward_matches_composition(with_mask):
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
+
+    q, k, v, bias, mask = _inputs(with_mask=with_mask)
+    b_, n, nh, hd = q.shape
+    c = nh * hd
+    scale = hd ** -0.5
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (b_, n, c), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
+
+    qkv = jnp.dot(x, w) + b
+    q5 = qkv.reshape(b_, n, 3, nh, hd)
+    ref = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                              bias, mask, scale).reshape(b_, n, c)
+    got = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_proj_fused_gradients_match_composition(with_mask):
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
+
+    q, k, v, bias, mask = _inputs(with_mask=with_mask)
+    b_, n, nh, hd = q.shape
+    c = nh * hd
+    scale = hd ** -0.5
+    rng = jax.random.PRNGKey(13)
+    x = jax.random.normal(rng, (b_, n, c), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
+
+    def ref_loss(x, w, b, bias):
+        qkv = jnp.dot(x, w) + b
+        q5 = qkv.reshape(b_, n, 3, nh, hd)
+        out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                  bias, mask, scale).reshape(b_, n, c)
+        return jnp.sum(out * jnp.sin(out))
+
+    def pal_loss(x, w, b, bias):
+        out = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+                                          interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    pal = jax.grad(pal_loss, argnums=(0, 1, 2, 3))(x, w, b, bias)
+    for g_ref, g_pal, name in zip(ref, pal, ("dx", "dw", "db", "dbias")):
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_proj_fused_bfloat16():
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
+
+    q, k, v, bias, mask = _inputs(with_mask=True)
+    b_, n, nh, hd = q.shape
+    c = nh * hd
+    scale = hd ** -0.5
+    rng = jax.random.PRNGKey(17)
+    x = jax.random.normal(rng, (b_, n, c), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
+
+    # f32 masters, bf16 compute — matches the model's promote path
+    ref = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+                                      dtype=jnp.bfloat16, use_pallas=False)
+    got = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+                                      dtype=jnp.bfloat16, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)

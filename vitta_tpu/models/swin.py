@@ -195,7 +195,9 @@ class WindowAttention3D(nn.Module):
         table = self.param(
             "rpb_table", nn.initializers.truncated_normal(0.02),
             (2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh))
-        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        # qkv Dense params only — the projection runs inside the fused
+        # attention kernel (checkpoint tree layout unchanged)
+        wqkv, bqkv = _DenseParams(3 * c, name="qkv")(c)
         full_n = wd * wh * ww
         if n == full_n:
             bias_hqk = relative_position_bias(table, (wd, wh, ww))
@@ -208,17 +210,18 @@ class WindowAttention3D(nn.Module):
             bias_hqk = jnp.transpose(
                 table.reshape(-1, nh)[idx.reshape(-1)].reshape(n, n, nh),
                 (2, 0, 1))
-        # fused softmax(qk^T + bias [+ mask])v on the PACKED projection —
-        # all heads per window grid step, qkv consumed and the output
-        # emitted in the matmuls' natural layouts, so no transpose chain
-        # surrounds the kernel; the f32 (B_, nh, N, N) logit tensor never
-        # reaches HBM (ops/pallas_attention.py).  Clamped (tiny-input)
-        # windows fall back to the jnp path — Mosaic rejects the
-        # degenerate shapes they produce.
-        from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
-        out = fused_window_attention_packed(
-            qkv, bias_hqk, mask, hd ** -0.5, nh,
-            use_pallas=None if n == full_n else False)
+        # fused qkv-projection + softmax(qk^T + bias [+ mask])v — the
+        # projection runs in the kernel prologue (weights VMEM-resident
+        # across the window grid), all heads per window grid step, and
+        # the output leaves in the proj Dense's natural input layout:
+        # neither the (B_, N, 3C) qkv tensor nor the f32 (B_, nh, N, N)
+        # logits ever reach HBM (ops/pallas_attention.py).  Clamped
+        # (tiny-input) windows fall back to the jnp path — Mosaic
+        # rejects the degenerate shapes they produce.
+        from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
+        out = fused_window_attention_proj(
+            x, wqkv, bqkv, bias_hqk, mask, hd ** -0.5, nh,
+            dtype=self.dtype, use_pallas=None if n == full_n else False)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

@@ -270,9 +270,8 @@ def _packed_logits(q, k, bias_h, mask_b, scale):
     return l
 
 
-def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
-                       *, scale, nh, hd):
-    blk = qkv_ref[0]                                   # (N, 3C)
+def _heads_fwd(blk, bias_ref, mask_ref, o_ref, ms_ref, *, scale, nh, hd):
+    """All-heads attention on a packed (N, 3C) qkv block in VMEM."""
     outs, ms = [], []
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
@@ -293,17 +292,16 @@ def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
         ms_ref[0] = jnp.concatenate(ms, axis=1)        # (N, 2nh) f32
 
 
-def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
-                       dqkv_ref, dbias_ref, *, scale, nh, hd):
-    b = pl.program_id(0)
-    blk = qkv_ref[0]
-    g = g_ref[0]                                       # (N, C)
-    ms = ms_ref[0]                                     # (N, 2nh) f32
+def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
+                       *, scale, nh, hd):
+    _heads_fwd(qkv_ref[0], bias_ref, mask_ref, o_ref, ms_ref,
+               scale=scale, nh=nh, hd=hd)
 
-    @pl.when(b == 0)
-    def _():
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
+def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
+               *, scale, nh, hd):
+    """Per-head backward on a packed (N, 3C) block; accumulates the bias
+    cotangent in dbias_ref and returns dqkv (N, 3C) in ``out_dtype``."""
     dqs, dks, dvs = [], [], []
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
@@ -331,10 +329,23 @@ def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
                                  preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(dlc, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-        dqs.append(dq.astype(dqkv_ref.dtype))
-        dks.append(dk.astype(dqkv_ref.dtype))
-        dvs.append(dv.astype(dqkv_ref.dtype))
-    dqkv_ref[0] = jnp.concatenate(dqs + dks + dvs, axis=1)
+        dqs.append(dq.astype(out_dtype))
+        dks.append(dk.astype(out_dtype))
+        dvs.append(dv.astype(out_dtype))
+    return jnp.concatenate(dqs + dks + dvs, axis=1)
+
+
+def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
+                       dqkv_ref, dbias_ref, *, scale, nh, hd):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dqkv_ref[0] = _heads_bwd(qkv_ref[0], bias_ref, mask_ref, ms_ref[0],
+                             g_ref[0], dbias_ref, dqkv_ref.dtype,
+                             scale=scale, nh=nh, hd=hd)
 
 
 def _packed_specs(n, c3, nh, nw, with_mask):
@@ -479,3 +490,204 @@ def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
     return _packed_attn(qkv, bias,
                         None if mask is None else mask.astype(jnp.bfloat16),
                         float(scale), nh, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused kernel: qkv = x @ W + b computed in the attention
+# kernel's prologue (weights resident in VMEM across the window grid).
+#
+# With the projection outside, every block pays a full HBM round trip of
+# the (B_, N, 3C) qkv tensor forward (Dense writes it, the kernel reads
+# it) and again backward (dqkv written by the kernel, re-read by the
+# Dense VJP, qkv residual re-read for dW) — ~3x the traffic of the
+# (B_, N, C) input itself.  Here HBM sees only x, the output, and the
+# (N, 3C)-sized per-window cotangent never leaves VMEM: the backward
+# recomputes qkv (one MXU matmul), forms dqkv per head, then emits
+# dx = dqkv W^T and accumulates dW = x^T dqkv / db = colsum(dqkv) in
+# f32 in revisited output blocks (same pattern as ops/pallas_mlp.py dW).
+# ---------------------------------------------------------------------------
+
+
+def _proj_fwd_kernel(x_ref, w_ref, b_ref, bias_ref, mask_ref, o_ref,
+                     ms_ref=None, *, scale, nh, hd):
+    x = x_ref[0]                                       # (N, C)
+    h = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    # match flax Dense at the compute dtype: bf16 matmul result (f32
+    # accumulation, rounded) + bf16 bias add
+    blk = h.astype(x.dtype) + b_ref[0]
+    _heads_fwd(blk, bias_ref, mask_ref, o_ref, ms_ref,
+               scale=scale, nh=nh, hd=hd)
+
+
+def _proj_bwd_kernel(x_ref, w_ref, b_ref, bias_ref, mask_ref, ms_ref, g_ref,
+                     dx_ref, dw_ref, db_ref, dbias_ref, *, scale, nh, hd):
+    bidx = pl.program_id(0)
+    x = x_ref[0]
+    h = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    blk = h.astype(x.dtype) + b_ref[0]
+
+    @pl.when(bidx == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dqkv = _heads_bwd(blk, bias_ref, mask_ref, ms_ref[0], g_ref[0],
+                      dbias_ref, x.dtype, scale=scale, nh=nh, hd=hd)
+    dx = jax.lax.dot_general(dqkv, w_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dw_ref[...] += jax.lax.dot_general(x, dqkv, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _proj_specs(n, c, nh, nw, with_mask):
+    x_spec = pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((c, 3 * c), lambda b: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, 3 * c), lambda b: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ins = [x_spec, w_spec, b_spec, bias_spec]
+    if with_mask:
+        ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
+                                memory_space=pltpu.VMEM))
+    return ins, x_spec
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "nh", "save_ms", "interpret"))
+def _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh, save_ms=False,
+                   interpret=False):
+    b_, n, c = x.shape
+    hd = c // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    ins, x_spec = _proj_specs(n, c, nh, nw, with_mask)
+    if with_mask:
+        kern = functools.partial(_proj_fwd_kernel, scale=scale, nh=nh, hd=hd)
+    elif save_ms:
+        kern = functools.partial(
+            lambda xr, wr, br, bb, o, msr, **kw:
+            _proj_fwd_kernel(xr, wr, br, bb, None, o, msr, **kw),
+            scale=scale, nh=nh, hd=hd)
+    else:
+        kern = functools.partial(
+            lambda xr, wr, br, bb, o, **kw:
+            _proj_fwd_kernel(xr, wr, br, bb, None, o, **kw),
+            scale=scale, nh=nh, hd=hd)
+    args = (x, w, b2d, bias) + ((mask,) if with_mask else ())
+    out_specs = [x_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b_, n, c), x.dtype)]
+    if save_ms:
+        out_specs.append(pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((b_, n, 2 * nh), jnp.float32))
+    res = pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+    return res if save_ms else res[0]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
+def _proj_attn_bwd(x, w, b2d, bias, mask, ms, g, scale, nh, interpret=False):
+    b_, n, c = x.shape
+    hd = c // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    ins, x_spec = _proj_specs(n, c, nh, nw, with_mask)
+    ins = ins + [pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_mask:
+        kern = functools.partial(_proj_bwd_kernel, scale=scale, nh=nh, hd=hd)
+    else:
+        kern = functools.partial(
+            lambda xr, wr, br, bb, msr, gr, dx, dw, db, dbias, **kw:
+            _proj_bwd_kernel(xr, wr, br, bb, None, msr, gr, dx, dw, db,
+                             dbias, **kw),
+            scale=scale, nh=nh, hd=hd)
+    args = (x, w, b2d, bias) + ((mask,) if with_mask else ()) + (ms, g)
+    return pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=[
+            x_spec,
+            pl.BlockSpec((c, 3 * c), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, n, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((nh, n, n), jnp.float32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _proj_attn(x, w, b2d, bias, mask, scale, nh, interpret=False):
+    return _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh,
+                          interpret=interpret)
+
+
+def _proj_attn_vjp_fwd(x, w, b2d, bias, mask, scale, nh, interpret):
+    out, ms = _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh, save_ms=True,
+                             interpret=interpret)
+    return out, (x, w, b2d, bias, mask, ms)
+
+
+def _proj_attn_vjp_bwd(scale, nh, interpret, res, g):
+    x, w, b2d, bias, mask, ms = res
+    dx, dw, db, dbias = _proj_attn_bwd(x, w, b2d, bias, mask, ms, g, scale,
+                                       nh, interpret=interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dx, dw.astype(w.dtype), db.astype(b2d.dtype),
+            dbias.astype(bias.dtype), dmask)
+
+
+_proj_attn.defvjp(_proj_attn_vjp_fwd, _proj_attn_vjp_bwd)
+
+
+def fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+                                dtype=jnp.float32, *,
+                                use_pallas: bool = None,
+                                interpret: bool = False):
+    """qkv projection + fused window attention in one kernel.
+
+    x: (B_, N, C); w (C, 3C) / b (3C,) — the qkv Dense parameters at
+    storage dtype (cast to the compute ``dtype`` here, matching flax's
+    promote_dtype, so cotangents flow back exactly as for nn.Dense);
+    bias (nh, N, N) f32; mask (nW, N, N) f32 or None.  Returns
+    (B_, N, C).  Off-TPU / clamped windows fall back to the explicit
+    Dense-then-packed-reference composition (identical math)."""
+    if use_pallas is None:
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
+    xc, wc, bc = (t.astype(dtype) for t in (x, w, b))
+    if not (use_pallas or interpret):
+        qkv = jnp.dot(xc, wc) + bc
+        return fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                             use_pallas=False)
+    return _proj_attn(xc, wc, bc.reshape(1, -1), bias,
+                      None if mask is None else mask.astype(jnp.bfloat16),
+                      float(scale), nh, interpret)
