@@ -161,13 +161,13 @@ def test_swin_block_fused_ln_matches_unfused_model():
     import vitta_tpu.models.swin as swin_mod
     orig = dispatch.pallas_enabled
     orig_fused = pm.fused_ln_mlp
-    orig_attn = pa.fused_window_attention_packed
+    orig_attn = pa.fused_window_attention_proj
     orig_bias = swin_mod.relative_position_bias
     try:
         dispatch.pallas_enabled = lambda: True
         pm.fused_ln_mlp = lambda *a, **kw: orig_fused(
             *a, **{**kw, "use_pallas": False, "interpret": True})
-        pa.fused_window_attention_packed = lambda *a, **kw: orig_attn(
+        pa.fused_window_attention_proj = lambda *a, **kw: orig_attn(
             *a, **{**kw, "use_pallas": False})
         swin_mod.relative_position_bias = lambda *a, **kw: orig_bias(
             *a, **{**kw, "use_pallas": False})
@@ -175,7 +175,7 @@ def test_swin_block_fused_ln_matches_unfused_model():
     finally:
         dispatch.pallas_enabled = orig
         pm.fused_ln_mlp = orig_fused
-        pa.fused_window_attention_packed = orig_attn
+        pa.fused_window_attention_proj = orig_attn
         swin_mod.relative_position_bias = orig_bias
 
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
