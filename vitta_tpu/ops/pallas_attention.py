@@ -680,6 +680,7 @@ def fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
     bias (nh, N, N) f32; mask (nW, N, N) f32 or None.  Returns
     (B_, N, C).  Off-TPU / clamped windows fall back to the explicit
     Dense-then-packed-reference composition (identical math)."""
+    import os
     if use_pallas is None:
         from vitta_tpu.ops.dispatch import pallas_enabled
         use_pallas = pallas_enabled()
@@ -688,6 +689,13 @@ def fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
         qkv = jnp.dot(xc, wc) + bc
         return fused_window_attention_packed(qkv, bias, mask, scale, nh,
                                              use_pallas=False)
+    if use_pallas and os.environ.get("VITTA_ATTN_NO_PROJ"):
+        # operational escape hatch: XLA qkv matmul + the packed kernel
+        # (the pre-fusion configuration)
+        qkv = jnp.dot(xc, wc) + bc
+        return fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                             use_pallas=True,
+                                             interpret=interpret)
     return _proj_attn(xc, wc, bc.reshape(1, -1), bias,
                       None if mask is None else mask.astype(jnp.bfloat16),
                       float(scale), nh, interpret)
