@@ -171,12 +171,15 @@ def test_proj_fused_forward_matches_composition(with_mask):
     w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
     b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
 
+    wp = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.05
+    bp = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.01
     qkv = jnp.dot(x, w) + b
     q5 = qkv.reshape(b_, n, 3, nh, hd)
-    ref = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+    att = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
                               bias, mask, scale).reshape(b_, n, c)
-    got = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
-                                      interpret=True)
+    ref = jnp.dot(att, wp) + bp
+    got = fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale,
+                                      nh, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -194,23 +197,29 @@ def test_proj_fused_gradients_match_composition(with_mask):
     w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
     b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
 
-    def ref_loss(x, w, b, bias):
+    wp = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.05
+    bp = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.01
+
+    def ref_loss(x, w, b, wp, bp, bias):
         qkv = jnp.dot(x, w) + b
         q5 = qkv.reshape(b_, n, 3, nh, hd)
-        out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+        att = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
                                   bias, mask, scale).reshape(b_, n, c)
+        out = jnp.dot(att, wp) + bp
         return jnp.sum(out * jnp.sin(out))
 
-    def pal_loss(x, w, b, bias):
-        out = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
-                                          interpret=True)
+    def pal_loss(x, w, b, wp, bp, bias):
+        out = fused_window_attention_proj(x, w, b, wp, bp, bias, mask,
+                                          scale, nh, interpret=True)
         return jnp.sum(out * jnp.sin(out))
 
-    ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(x, w, b, bias)
-    pal = jax.grad(pal_loss, argnums=(0, 1, 2, 3))(x, w, b, bias)
-    for g_ref, g_pal, name in zip(ref, pal, ("dx", "dw", "db", "dbias")):
+    args = (x, w, b, wp, bp, bias)
+    ref = jax.grad(ref_loss, argnums=tuple(range(6)))(*args)
+    pal = jax.grad(pal_loss, argnums=tuple(range(6)))(*args)
+    names = ("dx", "dw", "db", "dwp", "dbp", "dbias")
+    for g_ref, g_pal, name in zip(ref, pal, names):
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
-                                   rtol=3e-4, atol=3e-4, err_msg=name)
+                                   rtol=4e-4, atol=4e-4, err_msg=name)
 
 
 def test_proj_fused_bfloat16():
@@ -225,11 +234,15 @@ def test_proj_fused_bfloat16():
     w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
     b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
 
+    wp = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.05
+    bp = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.01
     # f32 masters, bf16 compute — matches the model's promote path
-    ref = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
-                                      dtype=jnp.bfloat16, use_pallas=False)
-    got = fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
-                                      dtype=jnp.bfloat16, interpret=True)
+    ref = fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale,
+                                      nh, dtype=jnp.bfloat16,
+                                      use_pallas=False)
+    got = fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale,
+                                      nh, dtype=jnp.bfloat16,
+                                      interpret=True)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),

@@ -195,9 +195,10 @@ class WindowAttention3D(nn.Module):
         table = self.param(
             "rpb_table", nn.initializers.truncated_normal(0.02),
             (2 * wd - 1, 2 * wh - 1, 2 * ww - 1, nh))
-        # qkv Dense params only — the projection runs inside the fused
-        # attention kernel (checkpoint tree layout unchanged)
+        # qkv/proj Dense params only — both projections run inside the
+        # fused attention kernel (checkpoint tree layout unchanged)
         wqkv, bqkv = _DenseParams(3 * c, name="qkv")(c)
+        wproj, bproj = _DenseParams(c, name="proj")(c)
         full_n = wd * wh * ww
         if n == full_n:
             bias_hqk = relative_position_bias(table, (wd, wh, ww))
@@ -210,19 +211,18 @@ class WindowAttention3D(nn.Module):
             bias_hqk = jnp.transpose(
                 table.reshape(-1, nh)[idx.reshape(-1)].reshape(n, n, nh),
                 (2, 0, 1))
-        # fused qkv-projection + softmax(qk^T + bias [+ mask])v — the
-        # projection runs in the kernel prologue (weights VMEM-resident
-        # across the window grid), all heads per window grid step, and
-        # the output leaves in the proj Dense's natural input layout:
-        # neither the (B_, N, 3C) qkv tensor nor the f32 (B_, nh, N, N)
-        # logits ever reach HBM (ops/pallas_attention.py).  Clamped
-        # (tiny-input) windows fall back to the jnp path — Mosaic
-        # rejects the degenerate shapes they produce.
+        # fused qkv-projection + softmax(qk^T + bias [+ mask])v + output
+        # projection — both Dense layers run inside the kernel (weights
+        # VMEM-resident across the window grid), all heads per window
+        # grid step: the (B_, N, 3C) qkv tensor, the f32 (B_, nh, N, N)
+        # logits, and the per-head output never reach HBM
+        # (ops/pallas_attention.py).  Clamped (tiny-input) windows fall
+        # back to the jnp path — Mosaic rejects the degenerate shapes
+        # they produce.
         from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
-        out = fused_window_attention_proj(
-            x, wqkv, bqkv, bias_hqk, mask, hd ** -0.5, nh,
+        return fused_window_attention_proj(
+            x, wqkv, bqkv, wproj, bproj, bias_hqk, mask, hd ** -0.5, nh,
             dtype=self.dtype, use_pallas=None if n == full_n else False)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class DropPath(nn.Module):

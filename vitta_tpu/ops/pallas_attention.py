@@ -270,8 +270,11 @@ def _packed_logits(q, k, bias_h, mask_b, scale):
     return l
 
 
-def _heads_fwd(blk, bias_ref, mask_ref, o_ref, ms_ref, *, scale, nh, hd):
-    """All-heads attention on a packed (N, 3C) qkv block in VMEM."""
+def _heads_fwd(blk, bias_ref, mask_ref, out_dtype, want_ms, *, scale, nh,
+               hd):
+    """All-heads attention on a packed (N, 3C) qkv block in VMEM.
+    Returns (concat output (N, C) in out_dtype, concat row max/sum
+    (N, 2nh) f32 or None)."""
     outs, ms = [], []
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
@@ -282,20 +285,22 @@ def _heads_fwd(blk, bias_ref, mask_ref, o_ref, ms_ref, *, scale, nh, hd):
         oh = jax.lax.dot_general(e.astype(blk.dtype), v,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        outs.append((oh / s).astype(o_ref.dtype))
-        if ms_ref is not None:
+        outs.append((oh / s).astype(out_dtype))
+        if want_ms:
             ms.extend([m, s])
-    o_ref[0] = jnp.concatenate(outs, axis=1)
-    if ms_ref is not None:
-        # softmax row max+sum per head — the backward skips both
-        # cross-lane (N, N) reductions by re-reading these
-        ms_ref[0] = jnp.concatenate(ms, axis=1)        # (N, 2nh) f32
+    # ms: softmax row max+sum per head — the backward skips both
+    # cross-lane (N, N) reductions by re-reading these
+    return (jnp.concatenate(outs, axis=1),
+            jnp.concatenate(ms, axis=1) if want_ms else None)
 
 
 def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
                        *, scale, nh, hd):
-    _heads_fwd(qkv_ref[0], bias_ref, mask_ref, o_ref, ms_ref,
-               scale=scale, nh=nh, hd=hd)
+    o, ms = _heads_fwd(qkv_ref[0], bias_ref, mask_ref, o_ref.dtype,
+                       ms_ref is not None, scale=scale, nh=nh, hd=hd)
+    o_ref[0] = o
+    if ms_ref is not None:
+        ms_ref[0] = ms
 
 
 def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
@@ -508,33 +513,58 @@ def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
 # ---------------------------------------------------------------------------
 
 
-def _proj_fwd_kernel(x_ref, w_ref, b_ref, bias_ref, mask_ref, o_ref,
-                     ms_ref=None, *, scale, nh, hd):
+def _proj_fwd_kernel(x_ref, w_ref, b_ref, wp_ref, bp_ref, bias_ref,
+                     mask_ref, o_ref, res_ref=None, ms_ref=None,
+                     *, scale, nh, hd):
     x = x_ref[0]                                       # (N, C)
-    h = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    qh = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     # match flax Dense at the compute dtype: bf16 matmul result (f32
     # accumulation, rounded) + bf16 bias add
-    blk = h.astype(x.dtype) + b_ref[0]
-    _heads_fwd(blk, bias_ref, mask_ref, o_ref, ms_ref,
-               scale=scale, nh=nh, hd=hd)
+    blk = qh.astype(x.dtype) + b_ref[0]
+    o_att, ms = _heads_fwd(blk, bias_ref, mask_ref, x.dtype,
+                           ms_ref is not None, scale=scale, nh=nh, hd=hd)
+    out = jax.lax.dot_general(o_att, wp_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype) + bp_ref[0]
+    if res_ref is not None:
+        # per-head attention output — the epilogue's dWp needs it; saving
+        # one copy replaces the fwd-read + bwd-read the unfused proj
+        # Dense paid on the same tensor
+        res_ref[0] = o_att
+    if ms_ref is not None:
+        ms_ref[0] = ms
 
 
-def _proj_bwd_kernel(x_ref, w_ref, b_ref, bias_ref, mask_ref, ms_ref, g_ref,
-                     dx_ref, dw_ref, db_ref, dbias_ref, *, scale, nh, hd):
+def _proj_bwd_kernel(x_ref, w_ref, b_ref, wp_ref, bias_ref, mask_ref,
+                     res_ref, ms_ref, g_ref,
+                     dx_ref, dw_ref, db_ref, dwp_ref, dbp_ref, dbias_ref,
+                     *, scale, nh, hd):
     bidx = pl.program_id(0)
     x = x_ref[0]
-    h = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    blk = h.astype(x.dtype) + b_ref[0]
+    g = g_ref[0]                                       # (N, C) = d(out)
+    o_att = res_ref[0]
 
     @pl.when(bidx == 0)
     def _():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
 
-    dqkv = _heads_bwd(blk, bias_ref, mask_ref, ms_ref[0], g_ref[0],
+    # output-projection epilogue backward
+    dwp_ref[...] += jax.lax.dot_general(o_att, g, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dbp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    g_att = jax.lax.dot_general(g, wp_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(x.dtype)
+
+    qh = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    blk = qh.astype(x.dtype) + b_ref[0]
+    dqkv = _heads_bwd(blk, bias_ref, mask_ref, ms_ref[0], g_att,
                       dbias_ref, x.dtype, scale=scale, nh=nh, hd=hd)
     dx = jax.lax.dot_general(dqkv, w_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -551,43 +581,51 @@ def _proj_specs(n, c, nh, nw, with_mask):
                           memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, 3 * c), lambda b: (0, 0),
                           memory_space=pltpu.VMEM)
+    wp_spec = pl.BlockSpec((c, c), lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec((1, c), lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    ins = [x_spec, w_spec, b_spec, bias_spec]
+    ins = [x_spec, w_spec, b_spec, wp_spec, bp_spec, bias_spec]
     if with_mask:
         ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
                                 memory_space=pltpu.VMEM))
-    return ins, x_spec
+    return ins, x_spec, w_spec, b_spec, wp_spec, bp_spec, bias_spec
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "nh", "save_ms", "interpret"))
-def _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh, save_ms=False,
-                   interpret=False):
+                   static_argnames=("scale", "nh", "save_res", "interpret"))
+def _proj_attn_fwd(x, w, b2d, wp, bp2d, bias, mask, scale, nh,
+                   save_res=False, interpret=False):
     b_, n, c = x.shape
     hd = c // nh
     with_mask = mask is not None
     nw = mask.shape[0] if with_mask else 1
-    ins, x_spec = _proj_specs(n, c, nh, nw, with_mask)
+    ins = _proj_specs(n, c, nh, nw, with_mask)[0]
     if with_mask:
         kern = functools.partial(_proj_fwd_kernel, scale=scale, nh=nh, hd=hd)
-    elif save_ms:
+    elif save_res:
         kern = functools.partial(
-            lambda xr, wr, br, bb, o, msr, **kw:
-            _proj_fwd_kernel(xr, wr, br, bb, None, o, msr, **kw),
+            lambda xr, wr, br, wpr, bpr, bb, o, rr, msr, **kw:
+            _proj_fwd_kernel(xr, wr, br, wpr, bpr, bb, None, o, rr, msr,
+                             **kw),
             scale=scale, nh=nh, hd=hd)
     else:
         kern = functools.partial(
-            lambda xr, wr, br, bb, o, **kw:
-            _proj_fwd_kernel(xr, wr, br, bb, None, o, **kw),
+            lambda xr, wr, br, wpr, bpr, bb, o, **kw:
+            _proj_fwd_kernel(xr, wr, br, wpr, bpr, bb, None, o, **kw),
             scale=scale, nh=nh, hd=hd)
-    args = (x, w, b2d, bias) + ((mask,) if with_mask else ())
+    args = (x, w, b2d, wp, bp2d, bias) + ((mask,) if with_mask else ())
+    x_spec = ins[0]
     out_specs = [x_spec]
     out_shapes = [jax.ShapeDtypeStruct((b_, n, c), x.dtype)]
-    if save_ms:
-        out_specs.append(pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((b_, n, 2 * nh), jnp.float32))
+    if save_res:
+        out_specs += [x_spec,
+                      pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shapes += [jax.ShapeDtypeStruct((b_, n, c), x.dtype),
+                       jax.ShapeDtypeStruct((b_, n, 2 * nh), jnp.float32)]
     res = pl.pallas_call(
         kern,
         grid=(b_,),
@@ -597,46 +635,48 @@ def _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh, save_ms=False,
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*args)
-    return res if save_ms else res[0]
+    return res if save_res else res[0]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "nh", "interpret"))
-def _proj_attn_bwd(x, w, b2d, bias, mask, ms, g, scale, nh, interpret=False):
+def _proj_attn_bwd(x, w, b2d, wp, bias, mask, o_att, ms, g, scale, nh,
+                   interpret=False):
     b_, n, c = x.shape
     hd = c // nh
     with_mask = mask is not None
     nw = mask.shape[0] if with_mask else 1
-    ins, x_spec = _proj_specs(n, c, nh, nw, with_mask)
-    ins = ins + [pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
-                              memory_space=pltpu.VMEM)]
+    (_, x_spec, w_spec, b_spec, wp_spec, bp_spec,
+     bias_spec) = _proj_specs(n, c, nh, nw, with_mask)
+    ins = [x_spec, w_spec, b_spec, wp_spec, bias_spec]
+    if with_mask:
+        ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
+                                memory_space=pltpu.VMEM))
+    ins += [x_spec,                                   # o_att residual
+            pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            x_spec]                                   # g
     if with_mask:
         kern = functools.partial(_proj_bwd_kernel, scale=scale, nh=nh, hd=hd)
     else:
         kern = functools.partial(
-            lambda xr, wr, br, bb, msr, gr, dx, dw, db, dbias, **kw:
-            _proj_bwd_kernel(xr, wr, br, bb, None, msr, gr, dx, dw, db,
-                             dbias, **kw),
+            lambda xr, wr, br, wpr, bb, rr, msr, gr,
+            dx, dw, db, dwp, dbp, dbias, **kw:
+            _proj_bwd_kernel(xr, wr, br, wpr, bb, None, rr, msr, gr,
+                             dx, dw, db, dwp, dbp, dbias, **kw),
             scale=scale, nh=nh, hd=hd)
-    args = (x, w, b2d, bias) + ((mask,) if with_mask else ()) + (ms, g)
+    args = (x, w, b2d, wp, bias) + ((mask,) if with_mask else ()) \
+        + (o_att, ms, g)
     return pl.pallas_call(
         kern,
         grid=(b_,),
         in_specs=ins,
-        out_specs=[
-            x_spec,
-            pl.BlockSpec((c, 3 * c), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[x_spec, w_spec, b_spec, wp_spec, bp_spec, bias_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b_, n, c), x.dtype),
             jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((nh, n, n), jnp.float32),
         ],
         compiler_params=_VMEM_PARAMS,
@@ -644,58 +684,65 @@ def _proj_attn_bwd(x, w, b2d, bias, mask, ms, g, scale, nh, interpret=False):
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _proj_attn(x, w, b2d, bias, mask, scale, nh, interpret=False):
-    return _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _proj_attn(x, w, b2d, wp, bp2d, bias, mask, scale, nh, interpret=False):
+    return _proj_attn_fwd(x, w, b2d, wp, bp2d, bias, mask, scale, nh,
                           interpret=interpret)
 
 
-def _proj_attn_vjp_fwd(x, w, b2d, bias, mask, scale, nh, interpret):
-    out, ms = _proj_attn_fwd(x, w, b2d, bias, mask, scale, nh, save_ms=True,
-                             interpret=interpret)
-    return out, (x, w, b2d, bias, mask, ms)
+def _proj_attn_vjp_fwd(x, w, b2d, wp, bp2d, bias, mask, scale, nh,
+                       interpret):
+    out, o_att, ms = _proj_attn_fwd(x, w, b2d, wp, bp2d, bias, mask, scale,
+                                    nh, save_res=True, interpret=interpret)
+    return out, (x, w, b2d, wp, bias, mask, o_att, ms)
 
 
 def _proj_attn_vjp_bwd(scale, nh, interpret, res, g):
-    x, w, b2d, bias, mask, ms = res
-    dx, dw, db, dbias = _proj_attn_bwd(x, w, b2d, bias, mask, ms, g, scale,
-                                       nh, interpret=interpret)
+    x, w, b2d, wp, bias, mask, o_att, ms = res
+    dx, dw, db, dwp, dbp, dbias = _proj_attn_bwd(
+        x, w, b2d, wp, bias, mask, o_att, ms, g, scale, nh,
+        interpret=interpret)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (dx, dw.astype(w.dtype), db.astype(b2d.dtype),
+            dwp.astype(wp.dtype), dbp.astype(wp.dtype),
             dbias.astype(bias.dtype), dmask)
 
 
 _proj_attn.defvjp(_proj_attn_vjp_fwd, _proj_attn_vjp_bwd)
 
 
-def fused_window_attention_proj(x, w, b, bias, mask, scale, nh,
+def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
                                 dtype=jnp.float32, *,
                                 use_pallas: bool = None,
                                 interpret: bool = False):
-    """qkv projection + fused window attention in one kernel.
+    """qkv projection + window attention + output projection, one kernel.
 
-    x: (B_, N, C); w (C, 3C) / b (3C,) — the qkv Dense parameters at
-    storage dtype (cast to the compute ``dtype`` here, matching flax's
-    promote_dtype, so cotangents flow back exactly as for nn.Dense);
-    bias (nh, N, N) f32; mask (nW, N, N) f32 or None.  Returns
-    (B_, N, C).  Off-TPU / clamped windows fall back to the explicit
-    Dense-then-packed-reference composition (identical math)."""
+    x: (B_, N, C); w (C, 3C) / b (3C,) and wp (C, C) / bp (C,) — the qkv
+    and proj Dense parameters at storage dtype (cast to the compute
+    ``dtype`` here, matching flax's promote_dtype, so cotangents flow
+    back exactly as for nn.Dense); bias (nh, N, N) f32; mask (nW, N, N)
+    f32 or None.  Returns (B_, N, C).  Off-TPU / clamped windows fall
+    back to the explicit Dense/packed-reference composition (identical
+    math)."""
     import os
     if use_pallas is None:
         from vitta_tpu.ops.dispatch import pallas_enabled
         use_pallas = pallas_enabled()
-    xc, wc, bc = (t.astype(dtype) for t in (x, w, b))
+    xc, wc, bc, wpc, bpc = (t.astype(dtype) for t in (x, w, b, wp, bp))
     if not (use_pallas or interpret):
         qkv = jnp.dot(xc, wc) + bc
-        return fused_window_attention_packed(qkv, bias, mask, scale, nh,
-                                             use_pallas=False)
+        out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                            use_pallas=False)
+        return jnp.dot(out, wpc) + bpc
     if use_pallas and os.environ.get("VITTA_ATTN_NO_PROJ"):
-        # operational escape hatch: XLA qkv matmul + the packed kernel
-        # (the pre-fusion configuration)
+        # operational escape hatch: XLA qkv/proj matmuls + the packed
+        # kernel (the pre-fusion configuration)
         qkv = jnp.dot(xc, wc) + bc
-        return fused_window_attention_packed(qkv, bias, mask, scale, nh,
-                                             use_pallas=True,
-                                             interpret=interpret)
-    return _proj_attn(xc, wc, bc.reshape(1, -1), bias,
+        out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                            use_pallas=True,
+                                            interpret=interpret)
+        return jnp.dot(out, wpc) + bpc
+    return _proj_attn(xc, wc, bc.reshape(1, -1), wpc, bpc.reshape(1, -1),
+                      bias,
                       None if mask is None else mask.astype(jnp.bfloat16),
                       float(scale), nh, interpret)
