@@ -204,8 +204,21 @@ void* vd_open(const char* path) {
   AVStream* st = d->fmt->streams[d->stream_index];
   d->codec = avcodec_alloc_context3(dec);
   if (!d->codec ||
-      avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
-      avcodec_open2(d->codec, dec, nullptr) < 0) {
+      avcodec_parameters_to_context(d->codec, st->codecpar) < 0) {
+    close_decoder(d);
+    return nullptr;
+  }
+  // Opt-in intra-video decode threading (VITTA_DECODE_THREADS=N) for
+  // single-stream latency; default 1 thread — the prefetcher already
+  // parallelizes across videos, and N threads don't reduce total work.
+  if (const char* t = getenv("VITTA_DECODE_THREADS")) {
+    int n = atoi(t);
+    if (n > 1) {
+      d->codec->thread_count = n;
+      d->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    }
+  }
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
     close_decoder(d);
     return nullptr;
   }
