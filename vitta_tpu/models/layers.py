@@ -88,7 +88,8 @@ def _sow_cossim(mod: nn.Module, x, leaf: str, clip_len: int) -> None:
 
 
 def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
-                     clip_len: int, input_side: bool = False) -> None:
+                     clip_len: int, input_side: bool = False,
+                     count: Optional[float] = None) -> None:
     """Sow one tap per requested statistic type.
 
     Mirrors ComputeNormStatsHook.compute_stat_for_NCTHW
@@ -123,10 +124,13 @@ def _sow_typed_stats(mod: nn.Module, x, stat_types: Tuple[str, ...],
         # placeholders at BatchNorm1d positions (basics.py:873-880); the
         # omitted tap is the placeholder here.
     if not input_side and stat_types:
-        # reference bz for this layer's feature (see COUNT_LEAF)
-        n = x.shape[0] // clip_len if (x.ndim == 4 and clip_len > 0) \
-            else x.shape[0]
-        mod.sow(TAPS, COUNT_LEAF, jnp.float32(n), reduce_fn=_tap_overwrite)
+        # reference bz for this layer's feature (see COUNT_LEAF); ``count``
+        # overrides when the caller's layout folds extra axes into dim 0
+        # (window-resident Swin: (B*nW, N, C) carries bz == B)
+        if count is None:
+            count = x.shape[0] // clip_len if (x.ndim == 4 and clip_len > 0) \
+                else x.shape[0]
+        mod.sow(TAPS, COUNT_LEAF, jnp.float32(count), reduce_fn=_tap_overwrite)
 
 
 class BatchNorm(nn.Module):
@@ -203,7 +207,8 @@ class LayerNorm(nn.Module):
     stat_types: Tuple[str, ...] = ("spatiotemp",)
 
     @nn.compact
-    def __call__(self, x, mode: str = "full"):
+    def __call__(self, x, mode: str = "full",
+                 stat_count: Optional[int] = None):
         """mode:
         * "full" — normalize ``x`` and return y (taps on both sides);
         * "params" — sow the input-side tap of ``x`` and return
@@ -212,13 +217,16 @@ class LayerNorm(nn.Module):
         * "sow_output" — ``x`` is the externally computed y: sow the
           output-side tap under this module's scope (tap names must not
           move when the normalize itself is fused away) and return it.
+
+        ``stat_count`` overrides the tap's COUNT_LEAF when dim 0 of ``x``
+        is not the reference batch (window-resident Swin layout).
         """
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if mode == "sow_output":
             if self.tap:
                 _sow_typed_stats(self, x.astype(jnp.float32),
-                                 self.stat_types, 0)
+                                 self.stat_types, 0, count=stat_count)
             return x
         if self.tap:
             _sow_typed_stats(self, x.astype(jnp.float32), self.stat_types, 0,
@@ -245,7 +253,8 @@ class LayerNorm(nn.Module):
             y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
             y = y.astype(x.dtype)
         if self.tap:
-            _sow_typed_stats(self, y.astype(jnp.float32), self.stat_types, 0)
+            _sow_typed_stats(self, y.astype(jnp.float32), self.stat_types, 0,
+                             count=stat_count)
         return y
 
 

@@ -231,13 +231,22 @@ class DropPath(nn.Module):
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 samples: Optional[int] = None):
+        """``samples`` gives the true sample count when dim 0 folds extra
+        axes (window-resident layout: B*nW): the mask is drawn per sample
+        and repeated, so stochastic depth still drops whole residual
+        branches per *video view*, and the draw consumes the same number
+        of random bits as the spatial path (identical trajectories)."""
         if deterministic or self.rate == 0.0:
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        s = x.shape[0] if samples is None else samples
+        shape = (s,) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
+        if s != x.shape[0]:
+            mask = jnp.repeat(mask, x.shape[0] // s, axis=0)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
@@ -296,7 +305,17 @@ class SwinBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 wr: Optional[tuple] = None):
+        """Spatial form: ``x`` is (B, D, H, W, C).
+
+        Window-resident form (``wr = (batch, mask_np)``): ``x`` is
+        already this block's window layout (B*nW, N, C) — the caller
+        (BasicLayer) owns roll/partition, so the block is purely
+        token-wise + windowed attention.  Param and tap names are
+        identical in both forms."""
+        if wr is not None:
+            return self._window_resident(x, wr, deterministic)
         b, d, h, w, c = x.shape
         window, shift = get_window_size((d, h, w), tuple(self.window_size),
                                         tuple(self.shift_size))
@@ -328,6 +347,24 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
+        return self._mlp_tail(x, deterministic)
+
+    def _window_resident(self, xw, wr, deterministic):
+        b, mask_np = wr
+        c = xw.shape[-1]
+        shortcut = xw
+        xn = LayerNorm(c, stat_types=self.stat_types, name="norm1")(
+            xw, stat_count=b)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        attn = WindowAttention3D(c, tuple(self.window_size), self.num_heads,
+                                 dtype=self.dtype, name="attn")(xn, mask)
+        xw = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            attn, deterministic, samples=b)
+        return self._mlp_tail(xw, deterministic, stat_count=b)
+
+    def _mlp_tail(self, x, deterministic, stat_count=None):
+        c = x.shape[-1]
+        samples = x.shape[0] if stat_count is None else stat_count
         norm2 = LayerNorm(c, stat_types=self.stat_types, name="norm2")
         mlp = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")
         from vitta_tpu.ops.dispatch import pallas_enabled
@@ -338,10 +375,11 @@ class SwinBlock3D(nn.Module):
             # identical to the unfused path
             scale, bias = norm2(x, mode="params")
             y, ln_out = mlp(x, deterministic, ln=(scale, bias, norm2.eps))
-            norm2(ln_out, mode="sow_output")
+            norm2(ln_out, mode="sow_output", stat_count=stat_count)
         else:
-            y = mlp(norm2(x), deterministic)
-        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+            y = mlp(norm2(x, stat_count=stat_count), deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic, samples=samples)
 
 
 class PatchMerging(nn.Module):
@@ -370,6 +408,19 @@ class PatchMerging(nn.Module):
                         name="reduction")(x)
 
 
+def window_relayout(xw, window, dims, from_shift, to_shift):
+    """Re-window a (B*nW, N, C) tensor from one cyclic shift to another:
+    the window_reverse / un-roll / roll / window_partition chain between
+    consecutive Swin blocks, composed into adjacent movement ops (one
+    net roll) that XLA can fuse."""
+    b, d, h, w = dims
+    x = window_reverse(xw, window, b, d, h, w)
+    delta = tuple(f - t for f, t in zip(from_shift, to_shift))
+    if any(delta):
+        x = jnp.roll(x, shift=delta, axis=(1, 2, 3))
+    return window_partition(x, window)
+
+
 class BasicLayer(nn.Module):
     """One Swin stage (swin_transformer.py:332-413)."""
 
@@ -385,8 +436,8 @@ class BasicLayer(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         shift = tuple(s // 2 for s in self.window_size)
-        for i in range(self.depth):
-            x = SwinBlock3D(
+        blocks = [
+            SwinBlock3D(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window_size=self.window_size,
@@ -395,10 +446,53 @@ class BasicLayer(nn.Module):
                 stat_types=self.stat_types,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            ) for i in range(self.depth)]
+        if self._window_resident_ok(x.shape):
+            x = self._forward_window_resident(x, blocks, deterministic)
+        else:
+            for blk in blocks:
+                x = blk(x, deterministic=deterministic)
         if self.downsample:
             x = PatchMerging(self.dim, stat_types=self.stat_types,
                              dtype=self.dtype, name="downsample")(x)
+        return x
+
+    def _window_resident_ok(self, shape) -> bool:
+        from vitta_tpu.ops.dispatch import window_resident_enabled
+        if not window_resident_enabled():
+            return False
+        # non-spatiotemp taps need the (D, H, W) token structure the
+        # window layout scrambles; cossim needs the time axis
+        if tuple(self.stat_types) != ("spatiotemp",):
+            return False
+        _, d, h, w, _ = shape
+        window = get_window_size((d, h, w), tuple(self.window_size))
+        # padding inside the stage would force a spatial round trip anyway
+        return d % window[0] == 0 and h % window[1] == 0 and w % window[2] == 0
+
+    def _forward_window_resident(self, x, blocks, deterministic):
+        """Keep activations in window layout across the whole stage: one
+        entry partition, one composed relayout per shift change (instead
+        of reverse+roll / roll+partition around every block), one exit
+        reverse.  All intermediate ops (LN, attention, MLP, residuals,
+        spatiotemp taps) are token-order-invariant; DropPath and the tap
+        COUNT_LEAF receive the true sample count explicitly."""
+        b, d, h, w, c = x.shape
+        window, base_shift = get_window_size(
+            (d, h, w), tuple(self.window_size),
+            tuple(s // 2 for s in self.window_size))
+        xw = window_partition(x, window)
+        cur = (0, 0, 0)
+        for i, blk in enumerate(blocks):
+            sh = (0, 0, 0) if i % 2 == 0 else base_shift
+            if sh != cur:
+                xw = window_relayout(xw, window, (b, d, h, w), cur, sh)
+                cur = sh
+            mask_np = compute_shift_mask(d, h, w, window, sh)
+            xw = blk(xw, deterministic=deterministic, wr=(b, mask_np))
+        x = window_reverse(xw, window, b, d, h, w)
+        if any(cur):
+            x = jnp.roll(x, shift=cur, axis=(1, 2, 3))
         return x
 
 

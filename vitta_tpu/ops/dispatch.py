@@ -19,3 +19,12 @@ def pallas_enabled() -> bool:
     if os.environ.get("VITTA_DISABLE_PALLAS"):
         return False
     return jax.default_backend() == "tpu"
+
+
+def window_resident_enabled() -> bool:
+    """Swin blocks keep activations in window layout across a stage
+    (models/swin.py:BasicLayer): the window_reverse/roll/roll/partition
+    chain between consecutive blocks collapses to one adjacent composed
+    relayout XLA can fuse.  Perf-variant flag; identical math (tested),
+    but OFF until measured on TPU."""
+    return bool(os.environ.get("VITTA_WINDOW_RESIDENT"))
