@@ -247,3 +247,109 @@ def test_proj_fused_bfloat16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm-prologue variant (norm1 fused into the kernel, VITTA_ATTN_LN)
+# ---------------------------------------------------------------------------
+
+
+def _ln_proj_inputs(seed=19, with_mask=True):
+    q, k, v, bias, mask = _inputs(with_mask=with_mask, seed=seed)
+    b_, n, nh, hd = q.shape
+    c = nh * hd
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, (b_, n, c), jnp.float32) * 2.0 + 0.3
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(rng, 5), (c,))
+    beta = 0.05 * jax.random.normal(jax.random.fold_in(rng, 6), (c,))
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (c, 3 * c)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(rng, 2), (3 * c,)) * 0.01
+    wp = jax.random.normal(jax.random.fold_in(rng, 3), (c, c)) * 0.05
+    bp = jax.random.normal(jax.random.fold_in(rng, 4), (c,)) * 0.01
+    return x, gamma, beta, w, b, wp, bp, bias, mask, nh, hd
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_ln_proj_forward_matches_composition(with_mask):
+    from vitta_tpu.ops.pallas_attention import (
+        fused_window_attention_ln_proj, ln_reference)
+
+    (x, gamma, beta, w, b, wp, bp, bias, mask, nh,
+     hd) = _ln_proj_inputs(with_mask=with_mask)
+    b_, n, c = x.shape
+    scale = hd ** -0.5
+    eps = 1e-5
+    y_ref = ln_reference(x, gamma, beta, eps)
+    qkv = jnp.dot(y_ref, w) + b
+    q5 = qkv.reshape(b_, n, 3, nh, hd)
+    att = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                              bias, mask, scale).reshape(b_, n, c)
+    ref = jnp.dot(att, wp) + bp
+    got, y_got = fused_window_attention_ln_proj(
+        x, gamma, beta, eps, w, b, wp, bp, bias, mask, scale, nh,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_ln_proj_gradients_match_composition(with_mask):
+    """Both cotangents exercised: the attention output's AND the tap
+    cotangent on y (the LayerNorm output the kernel re-emits)."""
+    from vitta_tpu.ops.pallas_attention import (
+        fused_window_attention_ln_proj, ln_reference)
+
+    (x, gamma, beta, w, b, wp, bp, bias, mask, nh,
+     hd) = _ln_proj_inputs(with_mask=with_mask)
+    b_, n, c = x.shape
+    scale = hd ** -0.5
+    eps = 1e-5
+
+    def combined(out, y):
+        return jnp.sum(out * jnp.sin(out)) + jnp.sum(jnp.cos(y))
+
+    def ref_loss(x, gamma, beta, w, b, wp, bp, bias):
+        y = ln_reference(x, gamma, beta, eps)
+        qkv = jnp.dot(y, w) + b
+        q5 = qkv.reshape(b_, n, 3, nh, hd)
+        att = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                  bias, mask, scale).reshape(b_, n, c)
+        return combined(jnp.dot(att, wp) + bp, y)
+
+    def pal_loss(x, gamma, beta, w, b, wp, bp, bias):
+        out, y = fused_window_attention_ln_proj(
+            x, gamma, beta, eps, w, b, wp, bp, bias, mask, scale, nh,
+            interpret=True)
+        return combined(out, y)
+
+    args = (x, gamma, beta, w, b, wp, bp, bias)
+    ref = jax.grad(ref_loss, argnums=tuple(range(8)))(*args)
+    pal = jax.grad(pal_loss, argnums=tuple(range(8)))(*args)
+    names = ("dx", "dgamma", "dbeta", "dw", "db", "dwp", "dbp", "dbias")
+    for g_ref, g_pal, name in zip(ref, pal, names):
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=6e-4, atol=6e-4, err_msg=name)
+
+
+def test_ln_proj_bfloat16():
+    from vitta_tpu.ops.pallas_attention import (
+        fused_window_attention_ln_proj)
+
+    (x, gamma, beta, w, b, wp, bp, bias, mask, nh,
+     hd) = _ln_proj_inputs(with_mask=True)
+    scale = hd ** -0.5
+    out, y = fused_window_attention_ln_proj(
+        x, gamma, beta, 1e-5, w, b, wp, bp, bias, mask, scale, nh,
+        dtype=jnp.bfloat16, interpret=True)
+    ref, y_ref = fused_window_attention_ln_proj(
+        x, gamma, beta, 1e-5, w, b, wp, bp, bias, mask, scale, nh,
+        dtype=jnp.bfloat16, use_pallas=False)
+    assert out.dtype == jnp.bfloat16 and y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        rtol=2e-2, atol=2e-2)

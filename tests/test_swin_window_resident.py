@@ -127,3 +127,66 @@ def test_full_model_smoke(monkeypatch):
     monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1")
     y1 = model.apply(variables, x)
     np.testing.assert_allclose(y0, y1, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# VITTA_ATTN_LN: norm1 fused into the attention kernel prologue
+# ---------------------------------------------------------------------------
+
+
+def run_flags(layer, x, flags, monkeypatch):
+    for var in ("VITTA_WINDOW_RESIDENT", "VITTA_ATTN_LN"):
+        monkeypatch.delenv(var, raising=False)
+    for var in flags:
+        monkeypatch.setenv(var, "1")
+    variables = layer.init(jax.random.PRNGKey(1), x)
+    y, aux = layer.apply(variables, x, deterministic=True, mutable=["taps"])
+    return y, aux["taps"], variables
+
+
+@pytest.mark.parametrize("flags", [("VITTA_ATTN_LN",),
+                                   ("VITTA_ATTN_LN", "VITTA_WINDOW_RESIDENT")])
+def test_attn_ln_forward_and_taps_match(x, monkeypatch, flags):
+    layer = make_layer()
+    y0, taps0, _ = run_flags(layer, x, (), monkeypatch)
+    y1, taps1, _ = run_flags(layer, x, flags, monkeypatch)
+    np.testing.assert_allclose(y0, y1, rtol=2e-5, atol=2e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(taps0)
+    flat1 = jax.tree_util.tree_leaves_with_path(taps1)
+    assert [p for p, _ in flat0] == [p for p, _ in flat1]
+    for (path, a), (_, b) in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                   err_msg=str(path))
+
+
+def test_attn_ln_gradients_match(x, monkeypatch):
+    layer = make_layer()
+    _, _, variables = run_flags(layer, x, (), monkeypatch)
+
+    def loss(params, on):
+        for var in ("VITTA_WINDOW_RESIDENT", "VITTA_ATTN_LN"):
+            monkeypatch.delenv(var, raising=False)
+        if on:
+            monkeypatch.setenv("VITTA_ATTN_LN", "1")
+        y, aux = layer.apply({"params": params}, x, deterministic=True,
+                             mutable=["taps"])
+        tap_sum = sum(jnp.sum(v) for p, v in
+                      jax.tree_util.tree_leaves_with_path(aux["taps"])
+                      if "stat_n" not in str(p))
+        return jnp.sum(y * y) + tap_sum
+
+    g0 = jax.grad(loss)(variables["params"], False)
+    g1 = jax.grad(loss)(variables["params"], True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5),
+        g0, g1)
+
+
+def test_attn_ln_gate_excludes_multitype(monkeypatch):
+    monkeypatch.setenv("VITTA_ATTN_LN", "1")
+    from vitta_tpu.models.swin import SwinBlock3D
+    blk = SwinBlock3D(dim=C, num_heads=2, window_size=WINDOW,
+                      stat_types=("spatiotemp", "temp"))
+    assert not blk._use_attn_ln()
+    assert SwinBlock3D(dim=C, num_heads=2,
+                       window_size=WINDOW)._use_attn_ln()

@@ -185,7 +185,11 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln=None):
+        """``ln``, when given, is (scale, bias, eps) of the preceding
+        LayerNorm (norm1): the normalize fuses into the kernel prologue
+        and the call returns (out, y) with y the LayerNorm output (for
+        the output-side stat tap) — mirroring Mlp's fused-LN contract."""
         b_, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -219,6 +223,14 @@ class WindowAttention3D(nn.Module):
         # (ops/pallas_attention.py).  Clamped (tiny-input) windows fall
         # back to the jnp path — Mosaic rejects the degenerate shapes
         # they produce.
+        if ln is not None:
+            from vitta_tpu.ops.pallas_attention import (
+                fused_window_attention_ln_proj)
+            scale, bias, eps = ln
+            return fused_window_attention_ln_proj(
+                x, scale, bias, eps, wqkv, bqkv, wproj, bproj, bias_hqk,
+                mask, hd ** -0.5, nh, dtype=self.dtype,
+                use_pallas=None if n == full_n else False)
         from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
         return fused_window_attention_proj(
             x, wqkv, bqkv, wproj, bproj, bias_hqk, mask, hd ** -0.5, nh,
@@ -320,12 +332,18 @@ class SwinBlock3D(nn.Module):
         window, shift = get_window_size((d, h, w), tuple(self.window_size),
                                         tuple(self.shift_size))
         shortcut = x
-        x = LayerNorm(c, stat_types=self.stat_types, name="norm1")(x)
+        norm1 = LayerNorm(c, stat_types=self.stat_types, name="norm1")
+        attn_mod = WindowAttention3D(c, tuple(self.window_size),
+                                     self.num_heads, dtype=self.dtype,
+                                     name="attn")
 
         wd, wh, ww = window
         pad_d = (-d) % wd
         pad_h = (-h) % wh
         pad_w = (-w) % ww
+        fuse_ln = self._use_attn_ln() and not (pad_d or pad_h or pad_w)
+        if not fuse_ln:
+            x = norm1(x)
         x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         dp, hp, wp = d + pad_d, h + pad_h, w + pad_w
 
@@ -338,8 +356,17 @@ class SwinBlock3D(nn.Module):
         # the bias table/index are sized by the CONFIGURED window; forward
         # slices [:n,:n] when the effective window is clamped (reference
         # WindowAttention3D keeps full-size buffers, :138-147)
-        attn = WindowAttention3D(c, tuple(self.window_size), self.num_heads,
-                                 dtype=self.dtype, name="attn")(windows, mask)
+        if fuse_ln:
+            # norm1 fuses into the attention kernel's prologue (LN is
+            # token-wise, so it commutes with roll/partition; gated off
+            # under padding — LN(0-pad) != 0); the module still owns the
+            # params and sows both tap sides
+            scale, bias = norm1(shortcut, mode="params")
+            attn, ln_out = attn_mod(windows, mask,
+                                    ln=(scale, bias, norm1.eps))
+            norm1(ln_out, mode="sow_output", stat_count=b)
+        else:
+            attn = attn_mod(windows, mask)
         x = window_reverse(attn, window, b, dp, hp, wp)
         if any(shift):
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
@@ -349,15 +376,28 @@ class SwinBlock3D(nn.Module):
             x, deterministic)
         return self._mlp_tail(x, deterministic)
 
+    def _use_attn_ln(self) -> bool:
+        from vitta_tpu.ops.dispatch import attn_ln_enabled
+        # the kernel returns y in window layout: only the token-order-
+        # invariant spatiotemp tap may consume it
+        return (attn_ln_enabled()
+                and tuple(self.stat_types) == ("spatiotemp",))
+
     def _window_resident(self, xw, wr, deterministic):
         b, mask_np = wr
         c = xw.shape[-1]
         shortcut = xw
-        xn = LayerNorm(c, stat_types=self.stat_types, name="norm1")(
-            xw, stat_count=b)
+        norm1 = LayerNorm(c, stat_types=self.stat_types, name="norm1")
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn = WindowAttention3D(c, tuple(self.window_size), self.num_heads,
-                                 dtype=self.dtype, name="attn")(xn, mask)
+        attn_mod = WindowAttention3D(c, tuple(self.window_size),
+                                     self.num_heads, dtype=self.dtype,
+                                     name="attn")
+        if self._use_attn_ln():
+            scale, bias = norm1(xw, mode="params")
+            attn, ln_out = attn_mod(xw, mask, ln=(scale, bias, norm1.eps))
+            norm1(ln_out, mode="sow_output", stat_count=b)
+        else:
+            attn = attn_mod(norm1(xw, stat_count=b), mask)
         xw = shortcut + DropPath(self.drop_path, name="drop_path1")(
             attn, deterministic, samples=b)
         return self._mlp_tail(xw, deterministic, stat_count=b)

@@ -21,6 +21,15 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def attn_ln_enabled() -> bool:
+    """Fuse the pre-attention LayerNorm (norm1) into the window-attention
+    kernel's prologue (ops/pallas_attention.py:_proj_ln_*), mirroring the
+    norm2->MLP prologue fusion: kills the standalone per-block LN kernel
+    and one (M, C) HBM read.  Perf-variant flag; identical math (tested),
+    OFF until measured on TPU."""
+    return bool(os.environ.get("VITTA_ATTN_LN"))
+
+
 def window_resident_enabled() -> bool:
     """Swin blocks keep activations in window layout across a stage
     (models/swin.py:BasicLayer): the window_reverse/roll/roll/partition

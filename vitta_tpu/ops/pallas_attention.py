@@ -711,6 +711,270 @@ def _proj_attn_vjp_bwd(scale, nh, interpret, res, g):
 _proj_attn.defvjp(_proj_attn_vjp_fwd, _proj_attn_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# LayerNorm-prologue variant: norm1 -> qkv -> attention -> proj, ONE kernel.
+#
+# The pre-attention LayerNorm's output y is consumed only by the qkv
+# projection (and the ViTTA output-side stat tap), so — exactly like the
+# norm2->MLP prologue fusion (ops/pallas_mlp.py:_lnmlp_*) — computing it
+# in the attention kernel's prologue removes the standalone per-block LN
+# kernel and one (M, C) HBM read.  y is still emitted (the tap needs it,
+# and its cotangent from the stat-regularization loss re-enters the
+# fused backward as gy); mean/rstd are recomputed in backward from x.
+# ---------------------------------------------------------------------------
+
+
+def _ln_block(xf, gam, bet, eps):
+    """One-pass f32 LayerNorm of a (N, C) block: returns (xh, rstd, y_f32)
+    — same formulation as ops/pallas_ln.py / models/layers.py."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(msq - mu * mu + eps)
+    xh = (xf - mu) * rstd
+    return xh, rstd, xh * gam + bet
+
+
+def _proj_ln_fwd_kernel(x_ref, gam_ref, bet_ref, w_ref, b_ref, wp_ref,
+                        bp_ref, bias_ref, mask_ref, o_ref, y_ref,
+                        res_ref=None, ms_ref=None, *, scale, nh, hd, eps):
+    _, _, yf = _ln_block(x_ref[0].astype(jnp.float32),
+                         gam_ref[0].astype(jnp.float32),
+                         bet_ref[0].astype(jnp.float32), eps)
+    yc = yf.astype(x_ref.dtype)
+    y_ref[0] = yc
+    qh = jax.lax.dot_general(yc, w_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    blk = qh.astype(yc.dtype) + b_ref[0]
+    o_att, ms = _heads_fwd(blk, bias_ref, mask_ref, yc.dtype,
+                           ms_ref is not None, scale=scale, nh=nh, hd=hd)
+    out = jax.lax.dot_general(o_att, wp_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype) + bp_ref[0]
+    if res_ref is not None:
+        res_ref[0] = o_att
+    if ms_ref is not None:
+        ms_ref[0] = ms
+
+
+def _proj_ln_bwd_kernel(x_ref, gam_ref, bet_ref, w_ref, b_ref, wp_ref,
+                        bias_ref, mask_ref, res_ref, ms_ref, g_ref, gy_ref,
+                        dx_ref, dgam_ref, dbet_ref, dw_ref, db_ref,
+                        dwp_ref, dbp_ref, dbias_ref,
+                        *, scale, nh, hd, eps):
+    bidx = pl.program_id(0)
+    gam = gam_ref[0].astype(jnp.float32)
+    xh, rstd, yf = _ln_block(x_ref[0].astype(jnp.float32), gam,
+                             bet_ref[0].astype(jnp.float32), eps)
+    yc = yf.astype(x_ref.dtype)
+    g = g_ref[0]
+    o_att = res_ref[0]
+
+    @pl.when(bidx == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dgam_ref[...] = jnp.zeros_like(dgam_ref)
+        dbet_ref[...] = jnp.zeros_like(dbet_ref)
+
+    # output-projection epilogue backward (same as _proj_bwd_kernel)
+    dwp_ref[...] += jax.lax.dot_general(o_att, g, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dbp_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    g_att = jax.lax.dot_general(g, wp_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(yc.dtype)
+
+    qh = jax.lax.dot_general(yc, w_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    blk = qh.astype(yc.dtype) + b_ref[0]
+    dqkv = _heads_bwd(blk, bias_ref, mask_ref, ms_ref[0], g_att,
+                      dbias_ref, yc.dtype, scale=scale, nh=nh, hd=hd)
+    dy = jax.lax.dot_general(dqkv, w_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dy += gy_ref[0].astype(jnp.float32)     # stat-tap cotangent on y
+    dw_ref[...] += jax.lax.dot_general(yc, dqkv, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    # LayerNorm backward (formulation of ops/pallas_mlp.py:_lnmlp_bwd_kernel)
+    dgam_ref[...] += jnp.sum(dy * xh, axis=0, keepdims=True)
+    dbet_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    wg = dy * gam
+    dx = rstd * (wg - jnp.mean(wg, axis=-1, keepdims=True)
+                 - xh * jnp.mean(wg * xh, axis=-1, keepdims=True))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "scale", "nh",
+                                             "save_res", "interpret"))
+def _proj_ln_attn_fwd(x, gam2d, bet2d, w, b2d, wp, bp2d, bias, mask, eps,
+                      scale, nh, save_res=False, interpret=False):
+    b_, n, c = x.shape
+    hd = c // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    ins = _proj_specs(n, c, nh, nw, with_mask)[0]
+    ln_spec = pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    ins = ins[:1] + [ln_spec, ln_spec] + ins[1:]
+    kw = dict(scale=scale, nh=nh, hd=hd, eps=eps)
+    if with_mask:
+        kern = functools.partial(_proj_ln_fwd_kernel, **kw)
+    elif save_res:
+        kern = functools.partial(
+            lambda xr, gr, btr, wr, br, wpr, bpr, bb, o, y, rr, msr, **k:
+            _proj_ln_fwd_kernel(xr, gr, btr, wr, br, wpr, bpr, bb, None,
+                                o, y, rr, msr, **k), **kw)
+    else:
+        kern = functools.partial(
+            lambda xr, gr, btr, wr, br, wpr, bpr, bb, o, y, **k:
+            _proj_ln_fwd_kernel(xr, gr, btr, wr, br, wpr, bpr, bb, None,
+                                o, y, **k), **kw)
+    args = (x, gam2d, bet2d, w, b2d, wp, bp2d, bias) \
+        + ((mask,) if with_mask else ())
+    x_spec = ins[0]
+    out_specs = [x_spec, x_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b_, n, c), x.dtype),
+                  jax.ShapeDtypeStruct((b_, n, c), x.dtype)]
+    if save_res:
+        out_specs += [x_spec,
+                      pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shapes += [jax.ShapeDtypeStruct((b_, n, c), x.dtype),
+                       jax.ShapeDtypeStruct((b_, n, 2 * nh), jnp.float32)]
+    return pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "scale", "nh",
+                                             "interpret"))
+def _proj_ln_attn_bwd(x, gam2d, bet2d, w, b2d, wp, bias, mask, o_att, ms,
+                      g, gy, eps, scale, nh, interpret=False):
+    b_, n, c = x.shape
+    hd = c // nh
+    with_mask = mask is not None
+    nw = mask.shape[0] if with_mask else 1
+    (_, x_spec, w_spec, b_spec, wp_spec, bp_spec,
+     bias_spec) = _proj_specs(n, c, nh, nw, with_mask)
+    ln_spec = pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    ms_spec = pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ins = [x_spec, ln_spec, ln_spec, w_spec, b_spec, wp_spec, bias_spec]
+    if with_mask:
+        ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
+                                memory_space=pltpu.VMEM))
+    ins += [x_spec, ms_spec, x_spec, x_spec]   # o_att, ms, g, gy
+    kw = dict(scale=scale, nh=nh, hd=hd, eps=eps)
+    if with_mask:
+        kern = functools.partial(_proj_ln_bwd_kernel, **kw)
+    else:
+        kern = functools.partial(
+            lambda xr, gr, btr, wr, br, wpr, bb, rr, msr, gg, gyr,
+            dx, dgam, dbet, dw, db, dwp, dbp, dbias, **k:
+            _proj_ln_bwd_kernel(xr, gr, btr, wr, br, wpr, bb, None, rr,
+                                msr, gg, gyr, dx, dgam, dbet, dw, db,
+                                dwp, dbp, dbias, **k), **kw)
+    args = (x, gam2d, bet2d, w, b2d, wp, bias) \
+        + ((mask,) if with_mask else ()) + (o_att, ms, g, gy)
+    return pl.pallas_call(
+        kern,
+        grid=(b_,),
+        in_specs=ins,
+        out_specs=[x_spec, ln_spec, ln_spec, w_spec, b_spec, wp_spec,
+                   bp_spec, bias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((nh, n, n), jnp.float32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _proj_ln_attn(x, gam2d, bet2d, w, b2d, wp, bp2d, bias, mask, eps,
+                  scale, nh, interpret=False):
+    out, y = _proj_ln_attn_fwd(x, gam2d, bet2d, w, b2d, wp, bp2d, bias,
+                               mask, eps, scale, nh, interpret=interpret)
+    return out, y
+
+
+def _proj_ln_attn_vjp_fwd(x, gam2d, bet2d, w, b2d, wp, bp2d, bias, mask,
+                          eps, scale, nh, interpret):
+    out, y, o_att, ms = _proj_ln_attn_fwd(
+        x, gam2d, bet2d, w, b2d, wp, bp2d, bias, mask, eps, scale, nh,
+        save_res=True, interpret=interpret)
+    return (out, y), (x, gam2d, bet2d, w, b2d, wp, bias, mask, o_att, ms)
+
+
+def _proj_ln_attn_vjp_bwd(eps, scale, nh, interpret, res, cot):
+    g, gy = cot
+    x, gam2d, bet2d, w, b2d, wp, bias, mask, o_att, ms = res
+    dx, dgam, dbet, dw, db, dwp, dbp, dbias = _proj_ln_attn_bwd(
+        x, gam2d, bet2d, w, b2d, wp, bias, mask, o_att, ms, g, gy,
+        eps, scale, nh, interpret=interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dx, dgam.astype(gam2d.dtype), dbet.astype(bet2d.dtype),
+            dw.astype(w.dtype), db.astype(b2d.dtype),
+            dwp.astype(wp.dtype), dbp.astype(wp.dtype),
+            dbias.astype(bias.dtype), dmask)
+
+
+_proj_ln_attn.defvjp(_proj_ln_attn_vjp_fwd, _proj_ln_attn_vjp_bwd)
+
+
+def ln_reference(x, gamma, beta, eps):
+    """layers.py's one-pass f32 LayerNorm (the unfused norm1 math)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    yf = (xf - mu) * jax.lax.rsqrt(msq - jnp.square(mu) + eps) \
+        * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return yf.astype(x.dtype)
+
+
+def fused_window_attention_ln_proj(x, gamma, beta, eps, w, b, wp, bp, bias,
+                                   mask, scale, nh, dtype=jnp.float32, *,
+                                   use_pallas: bool = None,
+                                   interpret: bool = False):
+    """LayerNorm + qkv projection + window attention + output projection
+    in one kernel.  x: (B_, N, C) PRE-norm windows; gamma/beta stay f32
+    (LayerNorm params); returns (out, y) with y = the LayerNorm output
+    (the ViTTA output-side stat tap consumes it, and its cotangent
+    re-enters the fused backward).  Off-TPU / clamped windows fall back
+    to the unfused composition (identical math)."""
+    if use_pallas is None:
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
+    xc, wc, bc, wpc, bpc = (t.astype(dtype) for t in (x, w, b, wp, bp))
+    if not (use_pallas or interpret):
+        y = ln_reference(xc, gamma, beta, eps)
+        qkv = jnp.dot(y, wc) + bc
+        out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                            use_pallas=False)
+        return jnp.dot(out, wpc) + bpc, y
+    return _proj_ln_attn(xc, gamma.reshape(1, -1), beta.reshape(1, -1),
+                         wc, bc.reshape(1, -1), wpc, bpc.reshape(1, -1),
+                         bias,
+                         None if mask is None else mask.astype(jnp.bfloat16),
+                         float(eps), float(scale), nh, interpret)
+
+
 def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
                                 dtype=jnp.float32, *,
                                 use_pallas: bool = None,
