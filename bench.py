@@ -46,6 +46,10 @@ BENCH_MODEL = os.environ.get("BENCH_MODEL", "tanet")
 BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 BENCH_E2E = os.environ.get("BENCH_E2E", "") == "1"
 BENCH_PROFILE = os.environ.get("BENCH_PROFILE", "")
+# BENCH_UINT8=1: device-resident *uint8* input pools (the production live
+# TTA wire format — normalize fuses into the step; required to exercise
+# VITTA_PATCHIFY's pre-normalize unfold on the real input dtype)
+BENCH_UINT8 = os.environ.get("BENCH_UINT8", "") == "1"
 
 
 def _build_tanet(T, HW, K, V):
@@ -174,12 +178,20 @@ def main():
         # that a real host-attached TPU does not pay)
         gen = np.random.default_rng(0)
         n_distinct = 4
-        views_pool = [jnp.asarray(gen.normal(size=(V, T, HW, HW, 3))
-                                  .astype(np.float32))
-                      for _ in range(n_distinct)]
-        clips_pool = [jnp.asarray(gen.normal(size=(1, T, HW, HW, 3))
-                                  .astype(np.float32))
-                      for _ in range(n_distinct)]
+        if BENCH_UINT8:
+            views_pool = [jnp.asarray(gen.integers(
+                0, 256, size=(V, T, HW, HW, 3), dtype=np.uint8))
+                for _ in range(n_distinct)]
+            clips_pool = [jnp.asarray(gen.integers(
+                0, 256, size=(1, T, HW, HW, 3), dtype=np.uint8))
+                for _ in range(n_distinct)]
+        else:
+            views_pool = [jnp.asarray(gen.normal(size=(V, T, HW, HW, 3))
+                                      .astype(np.float32))
+                          for _ in range(n_distinct)]
+            clips_pool = [jnp.asarray(gen.normal(size=(1, T, HW, HW, 3))
+                                      .astype(np.float32))
+                          for _ in range(n_distinct)]
         labels = jnp.zeros((1,), jnp.int32)
 
         for i in range(N_WARMUP):

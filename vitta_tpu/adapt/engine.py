@@ -177,6 +177,13 @@ class VittaEngine:
         self._norm_mean = jnp.asarray(cfg.data.input_mean, jnp.float32)
         self._norm_std = jnp.asarray(cfg.data.input_std, jnp.float32)
         self._norm_div255 = cfg.model.arch != "videoswintransformer"
+        # VITTA_PATCHIFY: unfold Swin's patch grid on the raw frames
+        # inside the step, before normalize — the patch-embed Conv3d then
+        # runs as a flat matmul (models/swin.py:patchify)
+        from vitta_tpu.ops.dispatch import patchify_enabled
+        self._patchify = tuple(cfg.model.patch_size) \
+            if (patchify_enabled()
+                and cfg.model.arch == "videoswintransformer") else None
         self.batch_stats = variables.get("batch_stats", {})
         self.init_params = variables["params"]
         # Regularization channels.  The reference live hook only supports
@@ -325,12 +332,23 @@ class VittaEngine:
 
     # ------------------------------------------------------------------
     def _maybe_normalize(self, x):
+        if self._patchify is not None:
+            pd, ph, pw = self._patchify
+            _, t, hh, ww, c = x.shape
+            if c == 3 and t % pd == 0 and hh % ph == 0 and ww % pw == 0:
+                from vitta_tpu.models.swin import patchify
+                x = patchify(x, self._patchify)
         if x.dtype != jnp.uint8:
             return x
         xf = x.astype(jnp.float32)
         if self._norm_div255:
             xf = xf / 255.0
-        return (xf - self._norm_mean) / self._norm_std
+        # per-channel constants tile across the packed patch axis
+        # (patchify keeps c as the minor dim of each patch)
+        reps = x.shape[-1] // self._norm_mean.shape[0]
+        mean = jnp.tile(self._norm_mean, reps) if reps > 1 else self._norm_mean
+        std = jnp.tile(self._norm_std, reps) if reps > 1 else self._norm_std
+        return (xf - mean) / std
 
     def _forward_tree(self, params, batch_stats, views, rng):
         """One tapped forward; returns the raw ``taps`` tree."""

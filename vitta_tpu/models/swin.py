@@ -536,6 +536,43 @@ class BasicLayer(nn.Module):
         return x
 
 
+def patchify(x, patch_size):
+    """(B, T, H, W, 3) -> (B, T/pd, H/ph, W/pw, pd*ph*pw*3), element order
+    (t, h, w, c) — exactly the contraction order of the patch-embed Conv3d
+    kernel (kt, kh, kw, in, out), so ``patchified @ kernel.reshape(-1, C)``
+    equals the VALID-padding strided conv.
+
+    Works on any dtype; the engine applies it to the *uint8* input before
+    the device-side normalize (per-channel constants tile across the
+    packed axis), which keeps XLA from pattern-matching the
+    unfold-then-matmul back into the slow strided conv — the f32 form of
+    this rewrite was measured WORSE (3.4 -> 9.8 ms/step, round 3)."""
+    pd, ph, pw = patch_size
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // pd, pd, h // ph, ph, w // pw, pw, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(b, t // pd, h // ph, w // pw, pd * ph * pw * c)
+
+
+class _PatchEmbedParams(nn.Module):
+    """Owns the patch-embed Conv3d's kernel/bias (same names, shapes and
+    init as nn.Conv) without running the conv — the pre-patchified input
+    path consumes them as a flat matmul.  Checkpoint tree unchanged."""
+
+    patch_size: Tuple[int, int, int]
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.patch_size, self.in_channels, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class SwinTransformer3D(nn.Module):
     """Swin-B video backbone (swin_transformer.py:459-661)."""
 
@@ -550,15 +587,30 @@ class SwinTransformer3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        """x: (B, T, H, W, 3) -> (B, D, H', W', num_features)."""
+        """x: (B, T, H, W, 3) -> (B, D, H', W', num_features).
+
+        A pre-patchified input — (B, D, H', W', pd*ph*pw*3), produced by
+        ``patchify`` (the engine does this on the uint8 frames under
+        VITTA_PATCHIFY) — is detected by its packed channel count and
+        embedded with a flat matmul over the same Conv3d parameters."""
         pd, ph, pw = self.patch_size
-        t, hh, ww_ = x.shape[1:4]
-        pad = ((0, 0), (0, (-t) % pd), (0, (-hh) % ph), (0, (-ww_) % pw), (0, 0))
-        x = jnp.pad(x.astype(self.dtype), pad)
-        x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
-                    strides=self.patch_size, padding="VALID",
-                    dtype=self.dtype,
-                    name="patch_embed_proj")(x)       # (B, D, H', W', C)
+        packed = pd * ph * pw * 3
+        if x.shape[-1] == packed:
+            kernel, bias = _PatchEmbedParams(
+                tuple(self.patch_size), 3, self.embed_dim,
+                name="patch_embed_proj")()
+            x = jnp.dot(x.astype(self.dtype),
+                        kernel.reshape(packed, self.embed_dim)
+                        .astype(self.dtype)) + bias.astype(self.dtype)
+        else:
+            t, hh, ww_ = x.shape[1:4]
+            pad = ((0, 0), (0, (-t) % pd), (0, (-hh) % ph),
+                   (0, (-ww_) % pw), (0, 0))
+            x = jnp.pad(x.astype(self.dtype), pad)
+            x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+                        strides=self.patch_size, padding="VALID",
+                        dtype=self.dtype,
+                        name="patch_embed_proj")(x)   # (B, D, H', W', C)
         # the patch-embed LayerNorm is NOT a stat tap (basics.py:503-505)
         x = LayerNorm(self.embed_dim, tap=False, name="patch_embed_norm")(x)
 

@@ -21,6 +21,16 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def patchify_enabled() -> bool:
+    """Patchify Swin's input in the jitted step on the raw (uint8)
+    frames before the device-side normalize, turning the patch-embed
+    strided Conv3d into a flat matmul (models/swin.py:patchify).  The
+    f32 unfold+matmul rewrite was pattern-matched back into a worse conv
+    by XLA (round-3 note); the uint8 pre-normalize form is the new
+    hypothesis.  OFF until measured on TPU."""
+    return bool(os.environ.get("VITTA_PATCHIFY"))
+
+
 def attn_ln_enabled() -> bool:
     """Fuse the pre-attention LayerNorm (norm1) into the window-attention
     kernel's prologue (ops/pallas_attention.py:_proj_ln_*), mirroring the
