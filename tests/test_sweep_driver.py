@@ -89,3 +89,40 @@ def test_parallel_sweep_groups_without_padding(tmp_path, monkeypatch):
     assert set(results) == set(corruptions) | {"mean"}
     # per-stream results map back to their corruption in order
     assert results["c0"] == [80.0] and results["c8"] == [40.0]
+
+
+def test_sweep_resume(tmp_path, monkeypatch):
+    """--resume skips corruptions checkpointed in sweep_state.json and
+    replays their rows; without the flag the state is ignored."""
+    from vitta_tpu.cli import drivers
+
+    calls = []
+
+    def fake_eval(cfg, corruption, **kw):
+        calls.append(corruption)
+        return [42.0 + len(calls)], None
+
+    monkeypatch.setattr(drivers, "evaluate", fake_eval)
+    argv = ["--result_dir", str(tmp_path), "--resume"]
+    _, cfg = drivers_opts(argv)
+    r1 = drivers.run_corruption_sweep(cfg, ["gauss"], source_kind="synthetic",
+                                      records=[])
+    assert calls == ["gauss"] and r1["gauss"] == [43.0]
+    assert (tmp_path / "sweep_state.json").exists()
+
+    # resumed run over a longer list: gauss replayed, contrast evaluated
+    r2 = drivers.run_corruption_sweep(cfg, ["gauss", "contrast"],
+                                      source_kind="synthetic", records=[])
+    assert calls == ["gauss", "contrast"]
+    assert r2["gauss"] == [43.0] and r2["contrast"] == [44.0]
+
+    # without --resume the sweep starts from scratch
+    _, cfg_fresh = drivers_opts(["--result_dir", str(tmp_path)])
+    drivers.run_corruption_sweep(cfg_fresh, ["gauss"],
+                                 source_kind="synthetic", records=[])
+    assert calls == ["gauss", "contrast", "gauss"]
+
+
+def drivers_opts(argv):
+    from vitta_tpu.cli.opts import get_opts
+    return get_opts(argv)

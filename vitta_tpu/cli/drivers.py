@@ -15,9 +15,42 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import json
+import os
+
 from vitta_tpu.cli.main_eval import evaluate, load_variables, load_source_stats
 from vitta_tpu.config import VittaConfig
 from vitta_tpu.utils.logging import ResultWriter, get_logger
+
+
+def _sweep_state_path(result_dir: str) -> str:
+    return os.path.join(result_dir, "sweep_state.json")
+
+
+def _load_sweep_state(cfg, logger) -> dict:
+    """Completed {corruption: rows} from a previous interrupted sweep
+    (``--resume``); empty when resume is off or no state exists."""
+    if not cfg.runtime.resume:
+        return {}
+    path = _sweep_state_path(cfg.runtime.result_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        done = json.load(f)
+    if done:
+        logger.info(f"resume: skipping {len(done)} completed corruptions: "
+                    f"{sorted(done)}")
+    return done
+
+
+def _save_sweep_state(result_dir: str, results: dict) -> None:
+    """Atomic checkpoint of completed corruption rows."""
+    path = _sweep_state_path(result_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({k: [float(v) for v in rows]
+                   for k, rows in results.items() if k != "mean"}, f)
+    os.replace(tmp, path)
 
 
 def run_corruption_sweep(cfg: VittaConfig, corruptions: Sequence[str],
@@ -29,8 +62,15 @@ def run_corruption_sweep(cfg: VittaConfig, corruptions: Sequence[str],
     logger = logger or get_logger(cfg.runtime.result_dir,
                                   verbose=cfg.runtime.verbose)
     writer = ResultWriter(cfg.runtime.result_dir, cfg)
+    done = _load_sweep_state(cfg, logger)
     results = {}
     for ci, corruption in enumerate(corruptions):
+        if corruption in done:
+            # replay the completed row so the all_result file of the
+            # resumed run is complete
+            results[corruption] = done[corruption]
+            writer.write_row(done[corruption])
+            continue
         ccfg = cfg
         if "{}" in cfg.data.val_vid_list:
             ccfg = cfg.replace(data=dataclasses.replace(
@@ -39,6 +79,7 @@ def run_corruption_sweep(cfg: VittaConfig, corruptions: Sequence[str],
                                 records=records, logger=logger)
         results[corruption] = rows
         writer.write_row(rows)
+        _save_sweep_state(cfg.runtime.result_dir, results)
     writer.close()
     mean_top1 = sum(r[0] for r in results.values()) / max(len(results), 1)
     logger.info(f"mean top-1 over {len(results)} corruptions: {mean_top1:.3f}")
@@ -60,13 +101,15 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
 
     logger = logger or get_logger(cfg.runtime.result_dir,
                                   verbose=cfg.runtime.verbose)
+    done = _load_sweep_state(cfg, logger)
+    pending = [c for c in corruptions if c not in done]
     model = get_model(cfg)
     variables = load_variables(cfg, model, seed=cfg.runtime.seed)
     src_stats = load_source_stats(cfg)
     engine = VittaEngine(model, cfg, variables, src_stats, donate=False)
 
     datasets = []
-    for corruption in corruptions:
+    for corruption in pending:
         ccfg = cfg
         if "{}" in cfg.data.val_vid_list:
             ccfg = cfg.replace(data=dataclasses.replace(
@@ -86,7 +129,7 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
     # largest that divides the group evenly.
     spc = max(1, cfg.runtime.streams_per_chip)
     group_cap = n_dev * spc
-    accs = []
+    results = dict(done)
     for g0 in range(0, len(datasets), group_cap):
         group = datasets[g0:g0 + group_cap]
         d = min(n_dev, (len(group) + spc - 1) // spc)
@@ -95,12 +138,13 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
         mesh = make_mesh(d, ("stream",))
         got, _state = run_parallel_streams(engine, mesh, group,
                                            seed=cfg.runtime.seed, logger=logger)
-        accs.extend(got)
+        for corruption, acc in zip(pending[g0:g0 + group_cap], got):
+            results[corruption] = [float(acc)]
+        _save_sweep_state(cfg.runtime.result_dir, results)
     writer = ResultWriter(cfg.runtime.result_dir, cfg)
-    results = {}
-    for corruption, acc in zip(corruptions, accs):
-        results[corruption] = [acc]
-        writer.write_row([acc])
+    for corruption in corruptions:
+        writer.write_row(results[corruption])
     writer.close()
+    accs = [results[c][0] for c in corruptions]
     results["mean"] = [sum(accs) / len(accs)]
     return results

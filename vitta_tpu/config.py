@@ -212,6 +212,11 @@ class RuntimeConfig:
     streams_per_chip: int = 1
     mesh_axis_name: str = "stream"
     profile_dir: str = ""
+    # resume an interrupted corruption sweep: corruptions already
+    # recorded in <result_dir>/sweep_state.json are skipped and their
+    # rows replayed (operational addition; the reference restarts from
+    # scratch)
+    resume: bool = False
 
 
 @dataclass(frozen=True)
