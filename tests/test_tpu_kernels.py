@@ -186,3 +186,127 @@ def test_layer_norm_kernel_on_chip():
     for a, b_g, name in zip(ref[1], pal[1], ("dx", "dg", "db")):
         scale_g = max(float(jnp.max(jnp.abs(a))), 1e-6)
         assert float(jnp.max(jnp.abs(a - b_g))) / scale_g < 1e-3, name
+
+
+def _proj_inputs(nh=4, hd=32, b_=8, n=392, nw=4, with_mask=True, seed=21):
+    c = nh * hd
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (b_, n, c), jnp.float32)
+    w = jax.random.normal(ks[1], (c, 3 * c)) * 0.05
+    b = jax.random.normal(ks[2], (3 * c,)) * 0.01
+    wp = jax.random.normal(ks[3], (c, c)) * 0.05
+    bp = jax.random.normal(ks[4], (c,)) * 0.01
+    bias = jax.random.normal(ks[5], (nh, n, n), jnp.float32)
+    mask = None
+    if with_mask:
+        raw = jax.random.bernoulli(ks[6], 0.3, (nw, n, n))
+        mask = jnp.where(raw, -100.0, 0.0).astype(jnp.float32)
+    return x, w, b, wp, bp, bias, mask, nh, hd
+
+
+def _grad_close(ref, pal, max_rel, mean_rel):
+    for a, b in zip(ref, pal):
+        scale_g = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)))), 1e-6)
+        d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+        assert float(jnp.max(d)) / scale_g < max_rel
+        assert float(jnp.mean(d)) / scale_g < mean_rel
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_proj_attention_kernel_on_chip(dtype):
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
+
+    x, w, b, wp, bp, bias, mask, nh, hd = _proj_inputs()
+    scale = hd ** -0.5
+
+    def loss(use_pallas, x_, w_, b_, wp_, bp_, bias_):
+        o = fused_window_attention_proj(
+            x_, w_, b_, wp_, bp_, bias_, mask, scale, nh, dtype=dtype,
+            use_pallas=use_pallas).astype(jnp.float32)
+        return jnp.sum(o * jnp.sin(o))
+
+    args = (x, w, b, wp, bp, bias)
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(False, *s), argnums=tuple(range(6)))(*a))(*args)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(True, *s), argnums=tuple(range(6)))(*a))(*args)
+    rtol = 1e-3 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=rtol)
+    _grad_close(ref[1], pal[1], 2e-2 if dtype == jnp.float32 else 8e-2,
+                3e-4 if dtype == jnp.float32 else 4e-3)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ln_proj_attention_kernel_on_chip(dtype):
+    from vitta_tpu.ops.pallas_attention import (
+        fused_window_attention_ln_proj)
+
+    x, w, b, wp, bp, bias, mask, nh, hd = _proj_inputs(seed=23)
+    c = x.shape[-1]
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(5), (c,))
+    beta = 0.05 * jax.random.normal(jax.random.PRNGKey(6), (c,))
+    scale = hd ** -0.5
+
+    def loss(use_pallas, x_, gamma_, beta_, w_, b_, wp_, bp_, bias_):
+        o, y = fused_window_attention_ln_proj(
+            x_, gamma_, beta_, 1e-5, w_, b_, wp_, bp_, bias_, mask, scale,
+            nh, dtype=dtype, use_pallas=use_pallas)
+        o = o.astype(jnp.float32)
+        return jnp.sum(o * jnp.sin(o)) + jnp.sum(jnp.cos(
+            y.astype(jnp.float32)))
+
+    args = (x, gamma, beta, w, b, wp, bp, bias)
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(False, *s), argnums=tuple(range(8)))(*a))(*args)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss(True, *s), argnums=tuple(range(8)))(*a))(*args)
+    rtol = 1e-3 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=rtol)
+    _grad_close(ref[1], pal[1], 2e-2 if dtype == jnp.float32 else 8e-2,
+                4e-4 if dtype == jnp.float32 else 4e-3)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_mlp_kernels_on_chip(dtype):
+    from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, fused_mlp
+
+    m, c = 1568, 256
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    x = jax.random.normal(ks[0], (m, c), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 4 * c)) * 0.05
+    b1 = jax.random.normal(ks[2], (4 * c,)) * 0.01
+    w2 = jax.random.normal(ks[3], (4 * c, c)) * 0.05
+    b2 = jax.random.normal(ks[4], (c,)) * 0.01
+    g = 1.0 + 0.1 * jax.random.normal(ks[5], (c,))
+    bt = 0.05 * jax.random.normal(ks[6], (c,))
+
+    def loss_mlp(use_pallas, x_, w1_, b1_, w2_, b2_):
+        o = fused_mlp(x_, w1_, b1_, w2_, b2_, dtype=dtype,
+                      use_pallas=use_pallas).astype(jnp.float32)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_lnmlp(use_pallas, x_, g_, bt_, w1_, b1_, w2_, b2_):
+        o, y = fused_ln_mlp(x_, g_, bt_, w1_, b1_, w2_, b2_, 1e-5,
+                            dtype=dtype, use_pallas=use_pallas)
+        return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(
+            jnp.cos(y.astype(jnp.float32)))
+
+    rtol = 1e-3 if dtype == jnp.float32 else 5e-2
+    max_rel = 2e-2 if dtype == jnp.float32 else 8e-2
+    mean_rel = 4e-4 if dtype == jnp.float32 else 4e-3
+
+    a1 = (x, w1, b1, w2, b2)
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss_mlp(False, *s), argnums=tuple(range(5)))(*a))(*a1)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss_mlp(True, *s), argnums=tuple(range(5)))(*a))(*a1)
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=rtol)
+    _grad_close(ref[1], pal[1], max_rel, mean_rel)
+
+    a2 = (x, g, bt, w1, b1, w2, b2)
+    ref = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss_lnmlp(False, *s), argnums=tuple(range(7)))(*a))(*a2)
+    pal = jax.jit(lambda *a: jax.value_and_grad(
+        lambda *s: loss_lnmlp(True, *s), argnums=tuple(range(7)))(*a))(*a2)
+    np.testing.assert_allclose(float(ref[0]), float(pal[0]), rtol=rtol)
+    _grad_close(ref[1], pal[1], max_rel, mean_rel)
