@@ -47,21 +47,41 @@ class StreamParallelEngine:
         self._step = jax.jit(shard_map(
             inner, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
             check_vma=False))
+        # single jitted identity-with-replication; created once so the
+        # per-video metric gather hits the jit cache (out_shardings is a
+        # prefix pytree: one sharding broadcasts over the output tree)
+        self._gather = jax.jit(lambda t: t,
+                               out_shardings=NamedSharding(mesh, P()))
 
     # ------------------------------------------------------------------
+    def _make_sharded(self, x):
+        """Build a stream-sharded global array from a host-resident full
+        array.  Per-shard callbacks (not a whole-array device_put) so the
+        same code works multi-process, where this process addresses only
+        its mesh slice and every process holds the full host batch."""
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, self._shard, lambda idx: x[idx])
+
     def init_state(self) -> TTAState:
         """Stacked per-stream state, sharded over the mesh."""
         s0 = self.engine.init_state()
 
         def stack(x):
-            y = jnp.broadcast_to(x[None], (self.n_streams,) + x.shape)
-            return jax.device_put(y, self._shard)
+            y = np.broadcast_to(np.asarray(x), (self.n_streams,) + x.shape)
+            return self._make_sharded(y)
 
         return jax.tree_util.tree_map(stack, s0)
 
     def shard_batch(self, tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), self._shard), tree)
+        return jax.tree_util.tree_map(self._make_sharded, tree)
+
+    def gather_metrics(self, tree):
+        """Fully replicate (all-gather) sharded per-stream metrics so the
+        host can read them — required under multi-process, harmless (one
+        copy) single-process."""
+        gathered = self._gather(tree)
+        return jax.tree_util.tree_map(np.asarray, gathered)
 
     # ------------------------------------------------------------------
     def adapt_eval_step(self, state: TTAState, views, eval_clips, labels, rngs):
@@ -101,8 +121,8 @@ def run_parallel_streams(engine: VittaEngine, mesh: Mesh, stream_datasets,
             jnp.arange(n))
         state, m = spe.adapt_eval_step(
             state, spe.shard_batch(views), spe.shard_batch(clips),
-            spe.shard_batch(labels), rngs)
-        correct1 += np.asarray(m.top1)
+            spe.shard_batch(labels), spe.shard_batch(rngs))
+        correct1 += spe.gather_metrics(m.top1)
         count += 1
         if logger and bi % 20 == 0:
             logger.debug(f"parallel-TTA [{bi}/{n_videos}] "
