@@ -306,8 +306,11 @@ class VittaEngine:
         else:
             zeros_ema = self._init_ema_for(self.reg_specs[0])
         if self._fused_sgd:
-            opt_state = jax.tree_util.tree_map(jnp.zeros_like,
-                                               self.init_params)
+            from vitta_tpu.adapt.optim import half_momentum_enabled
+            vdt = jnp.bfloat16 if half_momentum_enabled() else None
+            opt_state = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, vdt or p.dtype),
+                self.init_params)
         else:
             opt_state = self.tx.init(self.init_params)
         return TTAState(

@@ -84,6 +84,17 @@ def fused_sgd_mask(params, arch: str, partial_bn: bool):
     return None
 
 
+def half_momentum_enabled() -> bool:
+    """Carry the SGD momentum buffer in bfloat16 (VITTA_BF16_MOMENTUM=1):
+    halves the optimizer's HBM traffic over the ~88 M-param Swin tree
+    (~0.7 GB/step -> ~0.35) at the cost of one bf16 rounding of v per
+    step.  Update arithmetic stays f32 (v upcast, p -= lr*v2 in f32);
+    params remain f32 masters.  Off by default pending a TPU measurement
+    and the drift evidence in tests/test_optim_half_momentum.py."""
+    import os
+    return bool(os.environ.get("VITTA_BF16_MOMENTUM"))
+
+
 def fused_sgd_step(cfg: OptimConfig, params, momentum, grads, mask=None):
     """torch-style SGD(momentum, weight_decay) as one fused update per
     leaf (d = g + wd*p; v = mu*v + d; p -= lr*v — basics.py:547-560).
@@ -96,9 +107,10 @@ def fused_sgd_step(cfg: OptimConfig, params, momentum, grads, mask=None):
     wd, mu, lr = cfg.weight_decay, cfg.momentum, cfg.lr
 
     def upd(p, v, g, m=None):
-        v2 = mu * v + g + wd * p
+        v2 = mu * v.astype(jax.numpy.float32) \
+            + g.astype(jax.numpy.float32) + wd * p
         step = lr * v2 if m is None else (lr * m) * v2
-        return p - step, v2
+        return p - step, v2.astype(v.dtype)
 
     if mask is None:
         pairs = jax.tree_util.tree_map(upd, params, momentum, grads)
