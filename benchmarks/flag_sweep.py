@@ -1,0 +1,80 @@
+"""Sequentially measure bench.py under perf-flag configurations.
+
+Each configuration runs in a fresh subprocess (the flags are read at
+trace time, so a new process per config guarantees a clean trace) and
+appends one JSON line to the output file.  Used to burn down the
+"pending a TPU measurement window" list in benchmarks/PERF.md: every
+flag-gated perf variant gets measured in isolation against the
+committed stack before being flipped default-on.
+
+Usage:  python benchmarks/flag_sweep.py [out.jsonl] < configs come from
+CONFIGS below; edit there, not via argv, so the run is reproducible
+from the file alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# (name, env) — env is merged over os.environ for the child process.
+CONFIGS = [
+    ("swin_bf16_attn_ln", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_LN": "1"}),
+    ("swin_bf16_window_resident", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_WINDOW_RESIDENT": "1"}),
+    ("swin_bf16_uint8_base", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "BENCH_UINT8": "1"}),
+    ("swin_bf16_uint8_patchify", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "BENCH_UINT8": "1", "VITTA_PATCHIFY": "1"}),
+    ("swin_bf16_bf16_momentum", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_BF16_MOMENTUM": "1"}),
+]
+
+
+def run_one(name: str, env_overrides: dict, out_path: str,
+            timeout_s: int = 5400) -> dict:
+    env = dict(os.environ)
+    env.update(env_overrides)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], env=env, timeout=timeout_s,
+            capture_output=True, text=True)
+        rc, tail = proc.returncode, proc.stdout.strip().splitlines()
+    except subprocess.TimeoutExpired:
+        rc, tail = -9, ["TIMEOUT"]
+    rec = {"name": name, "env": env_overrides, "rc": rc,
+           "wall_s": round(time.time() - t0, 1)}
+    parsed = None
+    for line in reversed(tail):
+        try:
+            parsed = json.loads(line)
+            break
+        except (json.JSONDecodeError, ValueError):
+            continue
+    rec["result"] = parsed
+    if parsed is None:
+        rec["tail"] = tail[-3:]
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flag_sweep.jsonl"
+    for name, env in CONFIGS:
+        run_one(name, env, out_path)
+
+
+if __name__ == "__main__":
+    main()

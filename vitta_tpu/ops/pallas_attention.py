@@ -253,6 +253,40 @@ def fused_window_attention(q, k, v, bias, mask, scale, *,
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _proj_bwd_vmem_bytes(n, c, nh, itemsize, with_mask, with_ln=False):
+    """Estimated scoped-VMEM stack of the projection-fused backward
+    kernel (the step's largest kernel).  Major resident terms only,
+    scaled by a fudge factor calibrated against Mosaic's own accounting:
+    Swin-B stage 4 (n=392, c=1024, nh=32, bf16) measures 104.09 MB and
+    this returns 104 MB."""
+    b = 2 * nh * n * n * 4               # bias input + f32 dbias accumulator
+    b += c * 3 * c * (itemsize + 4)      # qkv W + f32 dW accumulator
+    b += c * c * (itemsize + 4)          # proj W + f32 dWp accumulator
+    b += 8 * n * c * itemsize            # x/g/o_att/dx blocks, double-buffered
+    if with_mask:
+        b += 2 * n * n * 2               # bf16 mask block, double-buffered
+    b += 2 * n * 3 * c * 4               # qh / dqkv f32 intermediates
+    b += n * 3 * c * itemsize            # recomputed qkv at compute dtype
+    b += 2 * n * c * 4                   # g_att / pre-cast dx f32 temps
+    b += 6 * n * n * 4                   # per-head softmax-recompute scratch
+    if with_ln:
+        b += n * c * (2 * itemsize + 4)  # y residual blocks + f32 x
+    return int(b * 1.15)
+
+
+def proj_fusion_fits(n, c, nh, itemsize, with_mask, with_ln=False,
+                     budget=96 * 1024 * 1024):
+    """Whether the projection-fused attention backward fits scoped VMEM.
+
+    Swin-B's last stage (2 windows, C=1024, 32 heads) does not: its f32
+    dW/dbias accumulators alone are ~32 MB and the measured stack is
+    104 MB vs the 100 MB limit.  Fusion buys almost nothing there anyway
+    (the whole qkv tensor is ~5 MB of HBM traffic at B_=2), so oversized
+    shapes route to the packed kernel with XLA projections instead."""
+    return _proj_bwd_vmem_bytes(n, c, nh, itemsize, with_mask,
+                                with_ln) <= budget
+
+
 def _head_slices(blk, h, nh, hd):
     c = nh * hd
     q = blk[:, h * hd:(h + 1) * hd]
@@ -968,6 +1002,16 @@ def fused_window_attention_ln_proj(x, gamma, beta, eps, w, b, wp, bp, bias,
         out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
                                             use_pallas=False)
         return jnp.dot(out, wpc) + bpc, y
+    b_, n, c = x.shape
+    if use_pallas and not interpret and not proj_fusion_fits(
+            n, c, nh, xc.dtype.itemsize, mask is not None, with_ln=True):
+        # scoped-VMEM overflow route (Swin-B stage 4): XLA LN +
+        # projections around the packed kernel (see proj_fusion_fits)
+        y = ln_reference(xc, gamma, beta, eps)
+        qkv = jnp.dot(y, wc) + bc
+        out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
+                                            use_pallas=True)
+        return jnp.dot(out, wpc) + bpc, y
     return _proj_ln_attn(xc, gamma.reshape(1, -1), beta.reshape(1, -1),
                          wc, bc.reshape(1, -1), wpc, bpc.reshape(1, -1),
                          bias,
@@ -998,9 +1042,15 @@ def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
         out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
                                             use_pallas=False)
         return jnp.dot(out, wpc) + bpc
-    if use_pallas and os.environ.get("VITTA_ATTN_NO_PROJ"):
-        # operational escape hatch: XLA qkv/proj matmuls + the packed
-        # kernel (the pre-fusion configuration)
+    b_, n, c = x.shape
+    if use_pallas and not interpret and (
+            os.environ.get("VITTA_ATTN_NO_PROJ")
+            or not proj_fusion_fits(n, c, nh, xc.dtype.itemsize,
+                                    mask is not None)):
+        # XLA qkv/proj matmuls + the packed kernel: the operational
+        # escape hatch (VITTA_ATTN_NO_PROJ) and the route for shapes
+        # whose fused backward would overflow scoped VMEM (Swin-B
+        # stage 4; see proj_fusion_fits)
         qkv = jnp.dot(xc, wc) + bc
         out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
                                             use_pallas=True,
