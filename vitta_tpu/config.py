@@ -275,3 +275,47 @@ def swin_ucf101_preset(**overrides) -> VittaConfig:
 def num_classes_for(dataset: str) -> int:
     """Reference corpus/main_eval.py:39-47."""
     return {"ucf101": 101, "somethingv2": 174, "kinetics": 400}[dataset]
+
+
+def label_flip_map(dataset: str):
+    """Horizontal-flip label-swap map, or None.
+
+    SSv2 has direction-sensitive classes ("left to right" vs "right to
+    left"): the reference hard-codes swaps for 86<->87, 93<->94,
+    166<->167 wherever a random flip is applied (utils/utils_.py:134-142,
+    tanet_models/transforms.py:62-80)."""
+    if dataset == "somethingv2":
+        from vitta_tpu.data.transforms import SSV2_LABEL_FLIP
+        return SSV2_LABEL_FLIP
+    return None
+
+
+def _dataset_preset(arch: str, dataset: str, **overrides) -> VittaConfig:
+    """Per-arch UCF101 preset re-targeted at another corruption dataset.
+
+    The reference ships UCF101 drivers only; its per-arch hyperparameters
+    (tta_{tanet,swin}_ucf101.py "To Specify" blocks) are dataset-
+    independent, and the paper's SSv2-C / K400-C protocols reuse them —
+    only the class count (main_eval.py:39-47) and, for SSv2, the flip
+    label map (utils_.py:134-142) change."""
+    base = (swin_ucf101_preset() if arch == "videoswintransformer"
+            else tanet_ucf101_preset())
+    cfg = base.replace(
+        data=dataclasses.replace(base.data, dataset=dataset),
+        model=dataclasses.replace(base.model, arch=arch,
+                                  num_classes=num_classes_for(dataset)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def ssv2_preset(arch: str = "videoswintransformer", **overrides) -> VittaConfig:
+    """Something-Something-v2-C preset (174 classes; SSv2's label-flip
+    map applies wherever random horizontal flips are drawn — the live
+    TTA view pipeline itself never flips, reference basics.py:1240-1259
+    flip commented out / swin flip_ratio=0)."""
+    return _dataset_preset(arch, "somethingv2", **overrides)
+
+
+def kinetics_preset(arch: str = "videoswintransformer", **overrides) -> VittaConfig:
+    """Kinetics-400-C preset (400 classes)."""
+    return _dataset_preset(arch, "kinetics", **overrides)

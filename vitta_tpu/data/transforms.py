@@ -217,19 +217,45 @@ def random_resized_crop_bbox(img_h: int, img_w: int,
 def hflip_with_label(frames: np.ndarray, label: int,
                      label_transforms: Optional[dict],
                      rng: np.random.Generator,
-                     flip_ratio: float = 0.5) -> Tuple[np.ndarray, int]:
-    """Group horizontal flip with the SSv2 label-swap map
-    (GroupRandomHorizontalFlip / get_augmentation,
-    utils/utils_.py:124-168, transforms.py:56-100): classes whose
-    semantics are direction-dependent are never flipped... in the TANet
-    variant the flip is skipped for mapped labels; the generic variant
-    swaps the label.  We follow the TANet variant: skip flip when the
-    label is in the map."""
-    if label_transforms is not None and label in label_transforms:
+                     flip_ratio: float = 0.5,
+                     mode: str = "skip") -> Tuple[np.ndarray, int]:
+    """Group horizontal flip with the SSv2 label-swap map.
+
+    The reference carries two semantics for direction-sensitive classes
+    (those in the map):
+
+    * ``mode='skip'`` — the TANet SubgroupWise variant
+      (tanet_models/transforms.py:56-87): mapped labels are never
+      flipped;
+    * ``mode='swap'`` — the generic ``GroupRandomHorizontalFlip`` and
+      ``GroupRandomHorizontalFlip_TANet`` used by ``get_augmentation``
+      (utils/utils_.py:124-168, tanet transforms.py:95-117): the frames
+      flip and the label swaps ("left to right" becomes "right to
+      left")."""
+    if mode == "skip" and label_transforms is not None \
+            and label in label_transforms:
         return frames, label
     if rng.random() < flip_ratio:
+        if mode == "swap" and label_transforms is not None:
+            label = label_transforms.get(label, label)
         return frames[..., ::-1, :].copy(), label
     return frames, label
+
+
+def train_augment(frames: np.ndarray, label: int, input_size: int,
+                  rng: np.random.Generator,
+                  label_transforms: Optional[dict] = None
+                  ) -> Tuple[np.ndarray, int]:
+    """The reference's training augmentation (``get_augmentation``,
+    utils/utils_.py:124-168, used by the legacy trainer at
+    basics.py:1351): GroupMultiScaleCrop from scales {1,.875,.75,.66}
+    followed by a 0.5-probability horizontal flip that swaps
+    direction-sensitive labels (SSv2 map).  frames: (T, H, W, 3) uint8
+    -> ((T, input_size, input_size, 3), label)."""
+    t, h, w, _ = frames.shape
+    box = sample_multiscale_crop(w, h, (input_size, input_size), rng)
+    out = crop_and_resize(frames, box, (input_size, input_size))
+    return hflip_with_label(out, label, label_transforms, rng, mode="swap")
 
 
 SSV2_LABEL_FLIP = {86: 87, 87: 86, 93: 94, 94: 93, 166: 167, 167: 166}
