@@ -80,13 +80,26 @@ def test_fused_mlp_bf16_param_grads_are_f32_masters():
                                rtol=0.1, atol=0.5)
 
 
-def test_tile_rows_divides_and_caps():
+def test_tile_rows_divides_and_fits():
+    budget = 88 * 1024 * 1024
     for m in (392, 784, 1568, 3136, 12544, 25088, 50176):
-        for f in (512, 1024, 2048, 4096):
-            t = _tile_rows(m, f)
-            assert m % t == 0
-            assert t * f <= max(m * f, 1 << 21)
-    assert _tile_rows(7, 512) == 7
+        for c, f in ((128, 512), (256, 1024), (512, 2048), (1024, 4096)):
+            for itemsize in (2, 4):
+                for nc, nf in ((2, 2), (3, 2), (5, 2)):
+                    t = _tile_rows(m, c, f, itemsize, nc, nf)
+                    assert m % t == 0
+                    # Mosaic sublane rule: non-full blocks are 8-multiples
+                    assert t == m or t % 8 == 0
+                    # the model's own estimate of the choice fits
+                    fixed = 2 * c * f * itemsize + 2 * c * f * 4
+                    row = int((2 * (nc * c + nf * f) * itemsize
+                               + (2 * f + 6 * c) * 4) * 1.2)
+                    assert fixed + t * row <= budget or t == 1
+                    assert t * f <= max(m * f, 1 << 21)
+    assert _tile_rows(7, 128, 512, 4, 3, 2) == 7
+    # the measured stage-4 overflow (101.93 MB at mt=392) must now pick
+    # a smaller tile
+    assert _tile_rows(784, 1024, 4096, 2, 5, 2) < 392
 
 
 def test_inkernel_erf_matches_lax_erf():

@@ -75,21 +75,43 @@ def _gelu_parts(h):
     return a, s
 
 
-def _tile_rows(m: int, f: int) -> int:
-    """Largest divisor of ``m`` under a VMEM-driven cap.
+def _tile_rows(m: int, c: int, f: int, itemsize: int,
+               n_ctiles: int, n_ftiles: int) -> int:
+    """Largest divisor of ``m`` whose VMEM stack estimate fits.
 
-    Cap keeps the (tile, F) f32 intermediates ~<= 8 MB; token counts in
-    this model (B*D*H*W) are rich in small factors, so a divisor near
-    the cap always exists.
+    The scoped-VMEM stack of one grid step is modeled as a fixed part
+    (weight const blocks at compute dtype + the f32 dW revisited
+    accumulators, none of which shrink with the tile) plus a
+    per-token-row part (the double-buffered c-/f-wide tile blocks and
+    the f32 row scratch), with a 1.2 safety factor calibrated against a
+    measured overflow: the LN-MLP backward at Swin-B stage 4 (mt=392,
+    C=1024, F=4096, bf16) allocates 101.93 MB against the 100 MB limit
+    — this model predicts 102.3 MB for it and halves the tile.  Token
+    counts in this model (B*D*H*W) are rich in small factors, so a
+    divisor near the cap always exists.
     """
-    cap = max(128, min(2048, (1 << 21) // max(f, 1)))
+    budget = 88 * 1024 * 1024   # headroom under _VMEM_PARAMS's 100 MB
+    fixed = 2 * c * f * itemsize + 2 * c * f * 4
+    row = int((2 * (n_ctiles * c + n_ftiles * f) * itemsize
+               + (2 * f + 6 * c) * 4) * 1.2)
+    cap = (budget - fixed) // row if budget > fixed else 1
+    # legacy cap: (tile, F) f32 intermediates ~<= 8 MB
+    cap = max(1, min(2048, cap, (1 << 21) // max(f, 1)))
     if m <= cap:
         return m
-    best = 1
-    for t in range(cap, 0, -1):
+    # Mosaic block rule: a non-full second-to-last block dim must be a
+    # multiple of 8 sublanes
+    best = None
+    for t in range(cap - cap % 8, 0, -8):
         if m % t == 0:
             best = t
             break
+    if best is None:   # no 8-multiple divisor under the cap: fall back
+        best = 1       # to the largest plain divisor (full-dim blocks
+        for t in range(min(cap, m), 0, -1):   # are exempt when t == m)
+            if m % t == 0:
+                best = t
+                break
     return best
 
 
@@ -150,7 +172,7 @@ def _const_spec(shape):
 def _pallas_mlp_fwd(x2, w1, b1, w2, b2, save_residuals, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, f)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 2, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ins = [tile, _const_spec((c, f)), _const_spec((1, f)),
@@ -180,7 +202,7 @@ def _pallas_mlp_fwd(x2, w1, b1, w2, b2, save_residuals, interpret=False):
 def _pallas_mlp_bwd(x2, a, s, g, w1, w2, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, f)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -333,7 +355,7 @@ def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
                       interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, f)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ins = [tile, _const_spec((1, c)), _const_spec((1, c)),
@@ -366,7 +388,7 @@ def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
 def _pallas_lnmlp_bwd(x2, y, a, s, go, gy, g, w1, w2, eps, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, f)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 5, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
