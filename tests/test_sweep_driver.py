@@ -74,7 +74,8 @@ def test_parallel_sweep_groups_without_padding(tmp_path, monkeypatch):
 
     group_sizes = []
 
-    def fake_run(engine, mesh, group, seed=0, logger=None):
+    def fake_run(engine, mesh, group, seed=0, logger=None,
+                 checkpointer=None):
         group_sizes.append((len(group), mesh.devices.size))
         return [float(10 * len(group) + k) for k in range(len(group))], None
 

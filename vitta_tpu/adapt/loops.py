@@ -17,24 +17,43 @@ from vitta_tpu.adapt.engine import VittaEngine, TTAState
 from vitta_tpu.utils.meters import AverageMeter
 
 
+def _preload_meter(meter: AverageMeter, sum_count) -> AverageMeter:
+    meter.sum, meter.count = sum_count
+    meter.avg = meter.sum / max(meter.count, 1)
+    return meter
+
+
 def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
                logger=None, print_freq: int = 20,
                state: Optional[TTAState] = None,
-               metrics_writer=None) -> Tuple[list, TTAState, dict]:
+               metrics_writer=None, checkpointer=None,
+               start_index: int = 0,
+               meter_state: Optional[dict] = None) -> Tuple[list, TTAState, dict]:
     """Run the online TTA loop over one corruption stream.
 
     ``paired_data`` yields (tta_views (V,T,S,S,3), eval_clip (E,T,S,S,3),
     label (1,)) per video.  Returns ([top1_avg], final_state, meters) —
     the reference returns ``[top1.avg]`` (basics.py:740-747).
+
+    Mid-stream resume: pass ``checkpointer``
+    (adapt/stream_ckpt.StreamCheckpointer) to persist the carried state
+    every ``checkpointer.every`` videos; on restart the caller restores
+    (state, start_index, meter_state) from it and feeds a ``paired_data``
+    that begins at ``start_index`` (Prefetcher(start=...)).  Per-video
+    RNGs fold the absolute video index, so the resumed trajectory is the
+    uninterrupted one.
     """
     if state is None:
         state = engine.init_state()
     rng = jax.random.PRNGKey(seed)
     top1, top5 = AverageMeter(), AverageMeter()
     losses_reg, losses_consis, losses_ce = AverageMeter(), AverageMeter(), AverageMeter()
+    if meter_state:
+        _preload_meter(top1, meter_state["top1"])
+        _preload_meter(top5, meter_state["top5"])
     batch_time = AverageMeter()
     end = time.time()
-    for bi, (views, clip, label) in enumerate(paired_data):
+    for bi, (views, clip, label) in enumerate(paired_data, start=start_index):
         step_rng = jax.random.fold_in(rng, bi)
         state, m = engine.adapt_eval_step(state, views, clip, label, step_rng)
         # host sync happens on metric read; keep it after dispatch
@@ -56,6 +75,12 @@ def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
                 f"reg {losses_reg.val:.4f} ({losses_reg.avg:.4f}) "
                 f"consis {losses_consis.val:.4f} ({losses_consis.avg:.4f}) "
                 f"top1 {top1.val:.3f} ({top1.avg:.3f})")
+        if checkpointer is not None and (bi + 1) % checkpointer.every == 0:
+            checkpointer.save(state, bi + 1,
+                              {"top1": (top1.sum, top1.count),
+                               "top5": (top5.sum, top5.count)})
+    if checkpointer is not None:
+        checkpointer.clear()
     meters = dict(top1=top1, top5=top5, loss_reg=losses_reg,
                   loss_consis=losses_consis, loss_ce=losses_ce,
                   batch_time=batch_time)

@@ -136,8 +136,23 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
         while len(group) % d:
             d -= 1
         mesh = make_mesh(d, ("stream",))
+        # mid-stream state checkpointing (adapt/stream_ckpt.py): directory
+        # keyed by the group's corruption names so a layout change between
+        # runs can never restore a mismatched state
+        ckpt = None
+        if cfg.runtime.stream_ckpt_every > 0:
+            from vitta_tpu.adapt.stream_ckpt import StreamCheckpointer
+            gname = "-".join(pending[g0:g0 + group_cap])
+            ckpt = StreamCheckpointer(
+                os.path.join(cfg.runtime.result_dir,
+                             f"stream_ckpt_group_{gname}"),
+                cfg.runtime.stream_ckpt_every)
+            if not cfg.runtime.resume:
+                ckpt.clear()
+                os.makedirs(ckpt.directory, exist_ok=True)
         got, _state = run_parallel_streams(engine, mesh, group,
-                                           seed=cfg.runtime.seed, logger=logger)
+                                           seed=cfg.runtime.seed, logger=logger,
+                                           checkpointer=ckpt)
         for corruption, acc in zip(pending[g0:g0 + group_cap], got):
             results[corruption] = [float(acc)]
         _save_sweep_state(cfg.runtime.result_dir, results)

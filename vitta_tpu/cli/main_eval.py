@@ -140,6 +140,25 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
                 "stat_type, or --temp_cossim_clean_file for "
                 "stat_reg='cossim') — run compute_stats first")
         engine = VittaEngine(model, cfg, variables, src_stats)
+        # mid-stream state checkpointing (adapt/stream_ckpt.py): resume a
+        # preempted corruption from the last saved TTAState instead of
+        # restarting the whole stream
+        ckpt, state0, start, meter_state = None, None, 0, None
+        if cfg.runtime.stream_ckpt_every > 0:
+            from vitta_tpu.adapt.stream_ckpt import StreamCheckpointer
+            ckpt = StreamCheckpointer(
+                os.path.join(cfg.runtime.result_dir,
+                             f"stream_ckpt_{corruption or 'run'}"),
+                cfg.runtime.stream_ckpt_every)
+            if cfg.runtime.resume:
+                got = ckpt.restore(engine.init_state())
+                if got is not None:
+                    state0, start, meter_state = got
+                    logger.info(f"resume: mid-stream checkpoint at video "
+                                f"{start} ({corruption})")
+            else:
+                ckpt.clear()  # a stale state must not leak into --resume
+                os.makedirs(ckpt.directory, exist_ok=True)
         # JSONL scalar stream in the result dir — the counterpart of the
         # reference's tensorboardX writer (main_eval.py:85)
         from vitta_tpu.utils.observability import MetricsWriter
@@ -148,9 +167,12 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
         try:
             result, state, meters = tta_stream(
                 engine, Prefetcher(paired, device_put=False,
-                                   n_workers=cfg.data.num_workers),
+                                   n_workers=cfg.data.num_workers,
+                                   start=start),
                 seed=cfg.runtime.seed, logger=logger,
-                print_freq=cfg.runtime.print_freq, metrics_writer=mw)
+                print_freq=cfg.runtime.print_freq, metrics_writer=mw,
+                checkpointer=ckpt, start_index=start,
+                meter_state=meter_state, state=state0)
         finally:
             mw.close()
         logger.info(f"[{corruption}] ViTTA top1 {result[0]:.3f} "

@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip corruptions already completed per "
                         "<result_dir>/sweep_state.json")
+    p.add_argument("--stream_ckpt_every", type=int, default=0,
+                   help="checkpoint the TTA state every N videos so "
+                        "--resume recovers mid-corruption (0 = off)")
     p.add_argument("--corruptions", nargs="+", default=None,
                    help="subset of corruption names for the sweep drivers "
                         "(default: all 12, reference tta_tanet_ucf101.py:9-11)")
@@ -172,7 +175,8 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
         t3a_filter_k=args.t3a_filter_k, verbose=args.verbose,
         print_freq=args.print_freq, seed=args.seed,
         n_parallel_streams=args.n_parallel_streams,
-        streams_per_chip=args.streams_per_chip, resume=args.resume)
+        streams_per_chip=args.streams_per_chip, resume=args.resume,
+        stream_ckpt_every=args.stream_ckpt_every)
     return VittaConfig(data=data, model=model, optim=optim, tta=tta,
                        runtime=runtime)
 

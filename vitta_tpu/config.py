@@ -217,6 +217,9 @@ class RuntimeConfig:
     # rows replayed (operational addition; the reference restarts from
     # scratch)
     resume: bool = False
+    # checkpoint the carried TTAState every N videos so --resume also
+    # recovers MID-corruption (adapt/stream_ckpt.py); 0 = off
+    stream_ckpt_every: int = 0
 
 
 @dataclass(frozen=True)

@@ -26,12 +26,14 @@ class Prefetcher:
     """
 
     def __init__(self, dataset, prefetch: int = 2, device_put: bool = True,
-                 device=None, n_workers: int = 1):
+                 device=None, n_workers: int = 1, start: int = 0):
         self.dataset = dataset
         self.prefetch = max(1, prefetch)
         self.device_put = device_put
         self.device = device
         self.n_workers = max(1, n_workers)
+        # first index to yield (mid-stream resume, adapt/stream_ckpt.py)
+        self.start = start
 
     def _fetch(self, i: int):
         item = self.dataset[i]
@@ -44,8 +46,9 @@ class Prefetcher:
         window = max(self.prefetch, self.n_workers)
         with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
             pending = collections.deque(
-                pool.submit(self._fetch, i) for i in range(min(window, n)))
-            nxt = len(pending)
+                pool.submit(self._fetch, i)
+                for i in range(self.start, min(self.start + window, n)))
+            nxt = self.start + len(pending)
             while pending:
                 item = pending.popleft().result()
                 if nxt < n:
@@ -54,4 +57,4 @@ class Prefetcher:
                 yield item
 
     def __len__(self):
-        return len(self.dataset)
+        return len(self.dataset) - self.start

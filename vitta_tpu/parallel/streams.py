@@ -96,12 +96,17 @@ class StreamParallelEngine:
 
 
 def run_parallel_streams(engine: VittaEngine, mesh: Mesh, stream_datasets,
-                         seed: int = 0, logger=None):
+                         seed: int = 0, logger=None, checkpointer=None):
     """Adapt several corruption streams in lock step.
 
     ``stream_datasets``: list of paired datasets (one per stream), all
     the same length (streams over the same video list, different
     corruptions).  Returns per-stream top-1 averages.
+
+    ``checkpointer`` (adapt/stream_ckpt.StreamCheckpointer) persists the
+    sharded per-stream state every N videos; on restart the group
+    resumes mid-corruption with the uninterrupted trajectory (RNGs fold
+    the absolute video index).
     """
     n = len(stream_datasets)
     spe = StreamParallelEngine(engine, mesh, n)
@@ -112,7 +117,17 @@ def run_parallel_streams(engine: VittaEngine, mesh: Mesh, stream_datasets,
     base = jax.random.PRNGKey(seed)
     correct1 = np.zeros(n)
     count = 0
-    for bi in range(n_videos):
+    start = 0
+    if checkpointer is not None:
+        got = checkpointer.restore(state)
+        if got is not None:
+            state, start, meta = got
+            correct1 = np.asarray(meta["correct1"][0], np.float64)
+            count = int(meta["correct1"][1])
+            if logger:
+                logger.info(f"resume: parallel group mid-stream at video "
+                            f"{start}")
+    for bi in range(start, n_videos):
         items = [d[bi] for d in stream_datasets]
         views = np.stack([it[0] for it in items])
         clips = np.stack([it[1] for it in items])
@@ -127,4 +142,9 @@ def run_parallel_streams(engine: VittaEngine, mesh: Mesh, stream_datasets,
         if logger and bi % 20 == 0:
             logger.debug(f"parallel-TTA [{bi}/{n_videos}] "
                          f"top1 {correct1 / max(count, 1)}")
+        if checkpointer is not None and (bi + 1) % checkpointer.every == 0:
+            checkpointer.save(state, bi + 1,
+                              {"correct1": (correct1, count)})
+    if checkpointer is not None:
+        checkpointer.clear()
     return (correct1 / count).tolist(), state
