@@ -266,9 +266,11 @@ class VittaEngine:
             compute_dtype = jnp.dtype(getattr(model, "dtype", jnp.float32))
         except TypeError:
             compute_dtype = jnp.float32
+        import os
         self._half = (self._fused_sgd
                       and compute_dtype == jnp.bfloat16
-                      and cfg.model.arch == "videoswintransformer")
+                      and cfg.model.arch == "videoswintransformer"
+                      and not os.environ.get("VITTA_NO_HALF_TWIN"))
         self._half_flags = (half_cast_flags(self.init_params)
                             if self._half else None)
         if self._fused_sgd:
