@@ -22,6 +22,19 @@ import time
 
 # (name, env) — env is merged over os.environ for the child process.
 CONFIGS = [
+    # the committed default stack (proj-fused attention, LN->MLP
+    # prologue, half param twin): the control every flag row compares to
+    ("swin_bf16_base", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16"}),
+    # escape hatches OFF the committed defaults — each must measure
+    # WORSE than base or the default flips
+    ("swin_bf16_no_proj_fusion", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_NO_PROJ": "1"}),
+    ("swin_bf16_no_half_twin", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_NO_HALF_TWIN": "1"}),
+    # default-off candidates, each in isolation over base
     ("swin_bf16_attn_ln", {
         "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
         "VITTA_ATTN_LN": "1"}),
