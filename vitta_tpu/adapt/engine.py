@@ -122,11 +122,14 @@ class TTAState(NamedTuple):
     batch_stats: Any = {}  # BN running stats; carried (and updated each
                            # adapt forward) when fix_BNS=False
                            # (corpus/basics.py:606-611)
-    params_half: Any = None  # compute-dtype twin of the flax-cast param
-                             # leaves (Swin bf16 mode) — kills the bulk
-                             # f32->bf16 convert both forwards otherwise
-                             # pay per step (~0.65 ms each for 88 M
-                             # params); emitted fused with the SGD update
+    params_half: Any = None  # SPARSE compute-dtype twin of the flax-cast
+                             # param leaves (Swin bf16 mode; None at
+                             # uncast positions — a shared f32 leaf would
+                             # be donated twice with the state) — kills
+                             # the bulk f32->bf16 convert both forwards
+                             # otherwise pay per step (~0.65 ms each for
+                             # 88 M params); emitted fused with the SGD
+                             # update
 
 
 def half_cast_flags(params, scope: str = "backbone"):
@@ -328,12 +331,27 @@ class VittaEngine:
         """Compute-dtype twin of the flagged leaves (None when the twin
         mode is off).  Inside the jitted step XLA fuses the per-leaf cast
         into the SGD update fusion that produced the leaf — no separate
-        HBM pass."""
+        HBM pass.
+
+        The twin is SPARSE: unflagged positions hold None rather than the
+        f32 param leaf.  Carrying the leaf itself would make ``params``
+        and ``params_half`` share device buffers, and donating the state
+        (donate_argnums=(0,)) would then donate one buffer twice — a
+        runtime InvalidArgument on TPU (bisected on-chip: donation +
+        full twin fails, donation + no twin or no donation succeed)."""
         if not self._half:
             return None
         return jax.tree_util.tree_map(
-            lambda p, f: p.astype(jnp.bfloat16) if f else p,
+            lambda p, f: p.astype(jnp.bfloat16) if f else None,
             params, self._half_flags)
+
+    def _merge_half(self, half, params):
+        """Full forward tree from the sparse twin: twin leaf where cast,
+        the f32 master leaf elsewhere (what flax's promote_dtype leaves
+        uncast anyway)."""
+        return jax.tree_util.tree_map(
+            lambda h, p: p if h is None else h, half, params,
+            is_leaf=lambda x: x is None)
 
     # ------------------------------------------------------------------
     def _maybe_normalize(self, x):
@@ -453,7 +471,8 @@ class VittaEngine:
         # the cast's VJP is the identity on values (flax would cast the
         # same leaves anyway), so grads/trajectories are unchanged while
         # the bulk f32->bf16 converts disappear from the step
-        fwd_params = state.params_half if self._half else params
+        half = state.params_half
+        fwd_params = self._merge_half(half, params) if self._half else params
         loss_reg = loss_consis = jnp.float32(0.0)
         loss_ce = jnp.float32(0.0)
         for gs in range(self.cfg.tta.n_gradient_steps):
@@ -462,7 +481,11 @@ class VittaEngine:
                     batch_stats) = grad_fn(fwd_params, ema, batch_stats,
                                            views, step_rng)
             params, opt_state = self._sgd_step(params, opt_state, grads)
-            fwd_params = self._cast_half(params) if self._half else params
+            if self._half:
+                half = self._cast_half(params)
+                fwd_params = self._merge_half(half, params)
+            else:
+                fwd_params = params
             loss_ce = cross_entropy(mean_logits, label)
         # detach EMA carry (the meter's sum is detached between steps)
         ema = jax.tree_util.tree_map(jax.lax.stop_gradient, ema)
@@ -476,7 +499,7 @@ class VittaEngine:
                               jnp.argmax(eval_logits, -1))
         new_state = TTAState(params, opt_state, ema,
                              state.step + 1, batch_stats,
-                             fwd_params if self._half else None)
+                             half if self._half else None)
         return new_state, metrics
 
     def _apply_eval(self, params, eval_clip, batch_stats=None):
@@ -498,7 +521,8 @@ class VittaEngine:
         """Adaptation without the per-sample eval — the epoch-style legacy
         loop ``test_time_adapt`` (basics.py:760-1084) adapts over the whole
         stream first and evaluates once at the end."""
-        fwd_params = state.params_half if self._half else state.params
+        fwd_params = (self._merge_half(state.params_half, state.params)
+                      if self._half else state.params)
         grads, (loss_reg, loss_consis, mean_logits, ema, batch_stats) = \
             jax.grad(self._losses, has_aux=True)(
                 fwd_params, state.ema, state.batch_stats, views, rng)

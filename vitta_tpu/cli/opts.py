@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "i3d_resnet50", "i3d_incep", "r2plus1d",
                             "videomae"])
     p.add_argument("--model_path", default="")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device compute dtype (TPU-native addition; "
+                        "params/stats/classifier stay fp32 — see "
+                        "benchmarks/PERF.md bf16 numerics)")
     p.add_argument("--partial_bn", action="store_true")
     p.add_argument("--num_clips", type=int, default=1)
     p.add_argument("--frame_uniform", type=str2bool, default=True)
@@ -140,7 +145,8 @@ def config_from_args(args: argparse.Namespace) -> VittaConfig:
         base.model, arch=args.arch,
         num_classes=num_classes_for(args.dataset),
         checkpoint_path=args.model_path,
-        partial_bn=args.partial_bn)
+        partial_bn=args.partial_bn,
+        compute_dtype=args.compute_dtype)
     optim = dataclasses.replace(
         base.optim, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay,
