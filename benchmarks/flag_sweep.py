@@ -77,6 +77,8 @@ def run_one(name: str, env_overrides: dict, out_path: str,
     rec["result"] = parsed
     if parsed is None:
         rec["tail"] = tail[-3:]
+        rec["stderr_tail"] = (proc.stderr.strip().splitlines()[-15:]
+                              if rc != -9 else ["TIMEOUT"])
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
