@@ -52,6 +52,23 @@ CONFIGS = [
         "VITTA_BF16_MOMENTUM": "1"}),
 ]
 
+# Round-4 second pass: combinations of the winners from the isolated
+# sweep above (window_resident −2.0 ms, attn_ln −1.2, no_proj −1.3;
+# attn_ln routes to the LN+proj-fused kernel, so it composes with
+# window_resident but supersedes no_proj).
+COMBO_CONFIGS = [
+    ("swin_bf16_wr_noproj", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_WINDOW_RESIDENT": "1", "VITTA_ATTN_NO_PROJ": "1"}),
+    ("swin_bf16_wr_attnln", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_WINDOW_RESIDENT": "1", "VITTA_ATTN_LN": "1"}),
+    ("swin_bf16_wr_attnln_uint8", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_WINDOW_RESIDENT": "1", "VITTA_ATTN_LN": "1",
+        "BENCH_UINT8": "1"}),
+]
+
 
 def run_one(name: str, env_overrides: dict, out_path: str,
             timeout_s: int = 5400) -> dict:
@@ -87,7 +104,8 @@ def run_one(name: str, env_overrides: dict, out_path: str,
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flag_sweep.jsonl"
-    for name, env in CONFIGS:
+    configs = COMBO_CONFIGS if "--combos" in sys.argv else CONFIGS
+    for name, env in configs:
         run_one(name, env, out_path)
 
 

@@ -24,10 +24,9 @@ def make_layer(stat_types=("spatiotemp",), drop=(0.0, 0.0), depth=2):
 
 
 def run(layer, x, use_wr, monkeypatch, deterministic=True, rng=0):
-    if use_wr:
-        monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1")
-    else:
-        monkeypatch.delenv("VITTA_WINDOW_RESIDENT", raising=False)
+    # tri-state gate, default ON since the round-4 sweep: "0" is the
+    # explicit spatial-path baseline
+    monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1" if use_wr else "0")
     variables = layer.init(jax.random.PRNGKey(1), x)
     kw = {}
     if not deterministic:
@@ -69,10 +68,7 @@ def test_gradients_match(x, monkeypatch):
     _, _, variables = run(layer, x, False, monkeypatch)
 
     def loss(params, wr):
-        if wr:
-            monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1")
-        else:
-            monkeypatch.delenv("VITTA_WINDOW_RESIDENT", raising=False)
+        monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1" if wr else "0")
         y, aux = layer.apply({"params": params}, x, deterministic=True,
                              mutable=["taps"])
         tap_sum = sum(jnp.sum(v) for p, v in
@@ -122,7 +118,7 @@ def test_full_model_smoke(monkeypatch):
                           jnp.float32)
     variables = model.init(jax.random.PRNGKey(4), x)
 
-    monkeypatch.delenv("VITTA_WINDOW_RESIDENT", raising=False)
+    monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "0")
     y0 = model.apply(variables, x)
     monkeypatch.setenv("VITTA_WINDOW_RESIDENT", "1")
     y1 = model.apply(variables, x)
@@ -136,7 +132,7 @@ def test_full_model_smoke(monkeypatch):
 
 def run_flags(layer, x, flags, monkeypatch):
     for var in ("VITTA_WINDOW_RESIDENT", "VITTA_ATTN_LN"):
-        monkeypatch.delenv(var, raising=False)
+        monkeypatch.setenv(var, "0")
     for var in flags:
         monkeypatch.setenv(var, "1")
     variables = layer.init(jax.random.PRNGKey(1), x)
@@ -165,7 +161,7 @@ def test_attn_ln_gradients_match(x, monkeypatch):
 
     def loss(params, on):
         for var in ("VITTA_WINDOW_RESIDENT", "VITTA_ATTN_LN"):
-            monkeypatch.delenv(var, raising=False)
+            monkeypatch.setenv(var, "0")
         if on:
             monkeypatch.setenv("VITTA_ATTN_LN", "1")
         y, aux = layer.apply({"params": params}, x, deterministic=True,

@@ -213,9 +213,12 @@ def _grad_close(ref, pal, max_rel, mean_rel):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_proj_attention_kernel_on_chip(dtype):
+def test_proj_attention_kernel_on_chip(dtype, monkeypatch):
     from vitta_tpu.ops.pallas_attention import fused_window_attention_proj
 
+    # packed is the measured production default (round-4 sweep); pin the
+    # proj-fused kernel so its on-chip path keeps real coverage
+    monkeypatch.setenv("VITTA_ATTN_PROJ_FUSED", "1")
     x, w, b, wp, bp, bias, mask, nh, hd = _proj_inputs()
     scale = hd ** -0.5
 

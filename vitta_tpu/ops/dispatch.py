@@ -1,4 +1,4 @@
-"""Single switch for the Pallas kernel auto-gates.
+"""Single switch for the Pallas kernel auto-gates and perf-variant flags.
 
 Every fused kernel picks Pallas-vs-jnp at trace time via
 ``pallas_enabled()``; setting ``VITTA_DISABLE_PALLAS=1`` before a trace
@@ -6,6 +6,21 @@ forces the pure-jnp paths (identical math).  bench.py uses this to
 lower a kernel-free twin of the step for FLOP accounting — XLA's cost
 analysis cannot see inside Pallas custom calls, so the fused build
 under-reports flops — and it doubles as an operational escape hatch.
+
+The perf-variant flags below are all *math-identical* layout/fusion
+alternatives (each equivalence-tested).  Their defaults reflect the
+round-4 TPU flag sweep (benchmarks/results/flag_sweep_r4{,b}.jsonl,
+Swin-B bf16 at the reference operating point, ms/video):
+
+  base 48.92 | +window_resident 46.94 | +attn_no_proj 47.61
+  +attn_ln 47.71 | +patchify(uint8) 50.09 vs 49.01 | +bf16_momentum 51.38
+  combos: wr+no_proj 45.80 (BEST) | wr+attn_ln 46.21
+
+so window-resident stages and the *packed* attention kernel (qkv/proj
+matmuls left to XLA) are default-ON, and the proj-fused kernel,
+LN-prologue fusion, uint8 patchify and bf16 momentum are default-OFF.
+Every gate is tri-state: unset -> measured default, "0"/"false"/"off"
+-> off, anything else -> on.
 """
 
 from __future__ import annotations
@@ -13,6 +28,15 @@ from __future__ import annotations
 import os
 
 import jax
+
+
+def flag_enabled(name: str, default: bool) -> bool:
+    """Tri-state env gate: unset/empty -> default; 0/false/off -> False;
+    anything else -> True."""
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    return v.lower() not in ("0", "false", "off")
 
 
 def pallas_enabled() -> bool:
@@ -24,26 +48,45 @@ def pallas_enabled() -> bool:
 def patchify_enabled() -> bool:
     """Patchify Swin's input in the jitted step on the raw (uint8)
     frames before the device-side normalize, turning the patch-embed
-    strided Conv3d into a flat matmul (models/swin.py:patchify).  The
-    f32 unfold+matmul rewrite was pattern-matched back into a worse conv
-    by XLA (round-3 note); the uint8 pre-normalize form is the new
-    hypothesis.  OFF until measured on TPU."""
-    return bool(os.environ.get("VITTA_PATCHIFY"))
+    strided Conv3d into a flat matmul (models/swin.py:patchify).
+    REJECTED on measurement: 50.09 vs 49.01 ms/video on the uint8 wire
+    (flag_sweep_r4.jsonl) — the f32 unfold was pattern-matched back into
+    a worse conv in round 3, and the uint8 form loses ~1.1 ms too.
+    Default OFF; kept as a measured-rejected variant."""
+    return flag_enabled("VITTA_PATCHIFY", False)
 
 
 def attn_ln_enabled() -> bool:
     """Fuse the pre-attention LayerNorm (norm1) into the window-attention
     kernel's prologue (ops/pallas_attention.py:_proj_ln_*), mirroring the
-    norm2->MLP prologue fusion: kills the standalone per-block LN kernel
-    and one (M, C) HBM read.  Perf-variant flag; identical math (tested),
-    OFF until measured on TPU."""
-    return bool(os.environ.get("VITTA_ATTN_LN"))
+    norm2->MLP prologue fusion.  Identical math (tested), but REJECTED on
+    measurement: 47.71 alone / 46.21 with window-resident vs the 45.80
+    packed-kernel winner (flag_sweep_r4{,b}.jsonl) — it forces the
+    proj-fused kernel, which is itself a 1.3 ms regression.  Default
+    OFF."""
+    return flag_enabled("VITTA_ATTN_LN", False)
+
+
+def attn_proj_fused_enabled() -> bool:
+    """Fuse the qkv/output projections into the window-attention kernel
+    (ops/pallas_attention.py:_proj_attn).  Identical math (tested), but
+    the round-4 sweep measured the *packed* kernel with XLA matmuls
+    FASTER (47.61 vs 48.92 alone; 45.80 vs 46.94 with window-resident):
+    XLA overlaps the projection matmuls with the attention custom call
+    better than the fused kernel's serial prologue/epilogue.  Default
+    OFF (packed); ``VITTA_ATTN_PROJ_FUSED=1`` re-enables, and the legacy
+    ``VITTA_ATTN_NO_PROJ=1`` escape hatch still forces it off."""
+    if os.environ.get("VITTA_ATTN_NO_PROJ"):
+        return False
+    return flag_enabled("VITTA_ATTN_PROJ_FUSED", False)
 
 
 def window_resident_enabled() -> bool:
     """Swin blocks keep activations in window layout across a stage
     (models/swin.py:BasicLayer): the window_reverse/roll/roll/partition
     chain between consecutive blocks collapses to one adjacent composed
-    relayout XLA can fuse.  Perf-variant flag; identical math (tested),
-    but OFF until measured on TPU."""
-    return bool(os.environ.get("VITTA_WINDOW_RESIDENT"))
+    relayout XLA can fuse.  Identical math (tested); the best single
+    flag of the round-4 sweep (46.94 vs 48.92 ms/video, and present in
+    the 45.80 winning combo).  Default ON; ``VITTA_WINDOW_RESIDENT=0``
+    restores the per-block spatial path."""
+    return flag_enabled("VITTA_WINDOW_RESIDENT", True)
