@@ -85,21 +85,34 @@ def test_tile_rows_divides_and_fits():
     for m in (392, 784, 1568, 3136, 12544, 25088, 50176):
         for c, f in ((128, 512), (256, 1024), (512, 2048), (1024, 4096)):
             for itemsize in (2, 4):
-                for nc, nf in ((2, 2), (3, 2), (5, 2)):
-                    t = _tile_rows(m, c, f, itemsize, nc, nf)
+                for nc, nf, nw in ((2, 2, 0), (3, 2, 0), (3, 2, 2),
+                                   (5, 2, 2)):
+                    t = _tile_rows(m, c, f, itemsize, nc, nf, nw)
                     assert m % t == 0
                     # Mosaic sublane rule: non-full blocks are 8-multiples
-                    assert t == m or t % 8 == 0
-                    # the model's own estimate of the choice fits
-                    fixed = 2 * c * f * itemsize + 2 * c * f * 4
+                    # (t == 1 is the no-fit sentinel — the op-level
+                    # mlp_fusion_fits gate routes around the kernel then)
+                    assert t == m or t % 8 == 0 or t == 1
+                    # the model's own estimate of the choice fits:
+                    # double-buffered weight blocks + f32 dW accumulators
+                    fixed = 4 * c * f * itemsize + nw * c * f * 4
                     row = int((2 * (nc * c + nf * f) * itemsize
                                + (2 * f + 6 * c) * 4) * 1.2)
                     assert fixed + t * row <= budget or t == 1
                     assert t * f <= max(m * f, 1 << 21)
-    assert _tile_rows(7, 128, 512, 4, 3, 2) == 7
-    # the measured stage-4 overflow (101.93 MB at mt=392) must now pick
-    # a smaller tile
-    assert _tile_rows(784, 1024, 4096, 2, 5, 2) < 392
+    assert _tile_rows(7, 128, 512, 4, 3, 2, 0) == 7
+    # the measured stage-4 overflows must be rejected/shrunk:
+    # bf16 bwd @ mt=392 allocated 101.93 MB -> smaller tile
+    assert _tile_rows(784, 1024, 4096, 2, 5, 2, 2) < 392
+    # f32 bwd @ mt=112 allocated 106.70 MB (round-4 bf16-gate run) ->
+    # no tile fits at all; the op-level gate must route around Pallas
+    from vitta_tpu.ops.pallas_mlp import mlp_fusion_fits
+    assert not mlp_fusion_fits(784, 1024, 4096, 4, with_ln=True)
+    assert not mlp_fusion_fits(784, 1024, 4096, 4)
+    # ...while the measured-good bf16 stage-4 and every other
+    # production shape stay on the fused kernel
+    assert mlp_fusion_fits(784, 1024, 4096, 2, with_ln=True)
+    assert mlp_fusion_fits(3136, 512, 2048, 4, with_ln=True)
 
 
 def test_inkernel_erf_matches_lax_erf():

@@ -287,6 +287,33 @@ def proj_fusion_fits(n, c, nh, itemsize, with_mask, with_ln=False,
                                 with_ln) <= budget
 
 
+def _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask):
+    """Estimated scoped-VMEM stack of the packed backward kernel (all
+    heads resident per window grid step).  Calibrated against Mosaic's
+    accounting at Swin-B stage 4 (n=392, c=1024, nh=32): f32 measures
+    117.67 MB on-chip (the round-4 bf16-gate run) and must be rejected;
+    bf16 ran the whole round-4 flag sweep under the 100 MB limit and
+    must keep fitting."""
+    b = 2 * nh * n * n * 4               # bias const block, double-buffered
+    b += nh * n * n * 4                  # f32 dbias revisited accumulator
+    # qkv/dqkv/g/ms tile blocks, double-buffered, at compute dtype
+    b += 2 * n * (3 * c + 3 * c + c + 2 * nh) * itemsize
+    b += 3 * n * c * 4                   # per-head dq/dk/dv pieces pre-concat
+    b += 4 * n * n * 4                   # live l/e/dp recompute scratch
+    if with_mask:
+        b += 2 * n * n * 2               # bf16 mask block, double-buffered
+    return int(b * 1.15)
+
+
+def packed_fits(n, c, nh, itemsize, with_mask,
+                budget=96 * 1024 * 1024) -> bool:
+    """Whether the packed (all-heads-per-step) backward fits scoped
+    VMEM.  Swin-B stage 4 in f32 does not (117.67 MB measured); such
+    shapes route to the per-(head, window) kernel, whose per-step
+    residency is a single head's slices (< 10 MB there)."""
+    return _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask) <= budget
+
+
 def _head_slices(blk, h, nh, hd):
     c = nh * hd
     q = blk[:, h * hd:(h + 1) * hd]
@@ -525,6 +552,17 @@ def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
         q5 = qkv.reshape(b_, n, 3, nh, hd)
         out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
                                   bias, mask, scale)
+        return out.reshape(b_, n, c)
+    if use_pallas and not interpret and not packed_fits(
+            n, c, nh, qkv.dtype.itemsize, mask is not None):
+        # scoped-VMEM overflow route (Swin-B stage 4 in f32, measured
+        # 117.67M vs the 100M limit): the per-(head, window) kernel
+        # keeps only one head's slices resident per grid step — it pays
+        # the unpack transpose chain, but only on shapes the packed
+        # kernel cannot compile at all
+        q5 = qkv.reshape(b_, n, 3, nh, hd)
+        out = fused_window_attention(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                     bias, mask, scale, use_pallas=True)
         return out.reshape(b_, n, c)
     return _packed_attn(qkv, bias,
                         None if mask is None else mask.astype(jnp.bfloat16),
@@ -1032,7 +1070,6 @@ def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
     f32 or None.  Returns (B_, N, C).  Off-TPU / clamped windows fall
     back to the explicit Dense/packed-reference composition (identical
     math)."""
-    import os
     if use_pallas is None:
         from vitta_tpu.ops.dispatch import pallas_enabled
         use_pallas = pallas_enabled()
@@ -1043,12 +1080,14 @@ def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
                                             use_pallas=False)
         return jnp.dot(out, wpc) + bpc
     b_, n, c = x.shape
+    from vitta_tpu.ops.dispatch import attn_proj_fused_enabled
     if use_pallas and not interpret and (
-            os.environ.get("VITTA_ATTN_NO_PROJ")
+            not attn_proj_fused_enabled()
             or not proj_fusion_fits(n, c, nh, xc.dtype.itemsize,
                                     mask is not None)):
-        # XLA qkv/proj matmuls + the packed kernel: the operational
-        # escape hatch (VITTA_ATTN_NO_PROJ) and the route for shapes
+        # XLA qkv/proj matmuls + the packed kernel: the measured default
+        # (round-4 sweep: packed beats proj-fused by 1.3-1.8 ms/video —
+        # dispatch.py:attn_proj_fused_enabled) and the route for shapes
         # whose fused backward would overflow scoped VMEM (Swin-B
         # stage 4; see proj_fusion_fits)
         qkv = jnp.dot(xc, wc) + bc

@@ -75,26 +75,46 @@ def _gelu_parts(h):
     return a, s
 
 
-def _tile_rows(m: int, c: int, f: int, itemsize: int,
-               n_ctiles: int, n_ftiles: int) -> int:
-    """Largest divisor of ``m`` whose VMEM stack estimate fits.
+def _row_cap(c: int, f: int, itemsize: int,
+             n_ctiles: int, n_ftiles: int, n_waccum: int) -> int:
+    """Max token rows per grid step under the scoped-VMEM budget.
 
-    The scoped-VMEM stack of one grid step is modeled as a fixed part
-    (weight const blocks at compute dtype + the f32 dW revisited
-    accumulators, none of which shrink with the tile) plus a
-    per-token-row part (the double-buffered c-/f-wide tile blocks and
-    the f32 row scratch), with a 1.2 safety factor calibrated against a
-    measured overflow: the LN-MLP backward at Swin-B stage 4 (mt=392,
-    C=1024, F=4096, bf16) allocates 101.93 MB against the 100 MB limit
-    — this model predicts 102.3 MB for it and halves the tile.  Token
-    counts in this model (B*D*H*W) are rich in small factors, so a
-    divisor near the cap always exists.
+    The stack of one grid step is modeled as a fixed part plus a
+    per-token-row part, calibrated against two measured on-chip
+    overflows of the LN-MLP backward at Swin-B stage 4 (C=1024,
+    F=4096): bf16 @ mt=392 allocated 101.93 MB, and f32 @ mt=112
+    allocated 106.70 MB (the round-4 bf16-gate run).  The bf16 number
+    decomposes exactly as double-buffered weight const blocks
+    (2 x 2 x C*F*2 = 33.6M) + single-buffered f32 dW accumulators
+    (2 x C*F*4 = 33.6M) + double-buffered IO tiles — so the weight
+    blocks are counted TWICE (Pallas double-buffers const blocks like
+    any other), and ``n_waccum`` counts the revisited f32 C*F output
+    accumulators (2 for the backwards, 0 for the forwards, which have
+    none).  The per-row part keeps a 1.2 safety factor for Mosaic's
+    vector temporaries.
     """
     budget = 88 * 1024 * 1024   # headroom under _VMEM_PARAMS's 100 MB
-    fixed = 2 * c * f * itemsize + 2 * c * f * 4
+    fixed = 4 * c * f * itemsize + n_waccum * c * f * 4
     row = int((2 * (n_ctiles * c + n_ftiles * f) * itemsize
                + (2 * f + 6 * c) * 4) * 1.2)
-    cap = (budget - fixed) // row if budget > fixed else 1
+    return (budget - fixed) // row if budget > fixed else 0
+
+
+def mlp_fusion_fits(m: int, c: int, f: int, itemsize: int,
+                    with_ln: bool = False) -> bool:
+    """True when the VMEM-worst variant (the backward kernel) has a
+    usable row tile — at Swin-B stage 4 in f32 the weight blocks plus
+    dW accumulators alone exceed the scoped budget (measured 106.70M
+    vs the 100M limit), so the whole op must take the unfused path."""
+    return _row_cap(c, f, itemsize, 5 if with_ln else 3, 2, 2) >= 8
+
+
+def _tile_rows(m: int, c: int, f: int, itemsize: int,
+               n_ctiles: int, n_ftiles: int, n_waccum: int) -> int:
+    """Largest divisor of ``m`` whose VMEM stack estimate fits (see
+    _row_cap).  Token counts here (B*D*H*W) are rich in small factors,
+    so a divisor near the cap always exists."""
+    cap = max(1, _row_cap(c, f, itemsize, n_ctiles, n_ftiles, n_waccum))
     # legacy cap: (tile, F) f32 intermediates ~<= 8 MB
     cap = max(1, min(2048, cap, (1 << 21) // max(f, 1)))
     if m <= cap:
@@ -172,7 +192,7 @@ def _const_spec(shape):
 def _pallas_mlp_fwd(x2, w1, b1, w2, b2, save_residuals, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 2, 2)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 2, 2, 0)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ins = [tile, _const_spec((c, f)), _const_spec((1, f)),
@@ -202,7 +222,7 @@ def _pallas_mlp_fwd(x2, w1, b1, w2, b2, save_residuals, interpret=False):
 def _pallas_mlp_bwd(x2, a, s, g, w1, w2, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -355,7 +375,7 @@ def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
                       interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 3, 2, 0)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ins = [tile, _const_spec((1, c)), _const_spec((1, c)),
@@ -388,7 +408,7 @@ def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
 def _pallas_lnmlp_bwd(x2, y, a, s, go, gy, g, w1, w2, eps, interpret=False):
     m, c = x2.shape
     f = w1.shape[1]
-    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 5, 2)
+    mt = _tile_rows(m, c, f, x2.dtype.itemsize, 5, 2, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -464,7 +484,14 @@ def fused_ln_mlp(x, g, bt, w1, b1, w2, b2, eps, dtype=jnp.float32, *,
         use_pallas = pallas_enabled()
     xc = x.astype(dtype)
     args = [t.astype(dtype) for t in (w1, b1, w2, b2)]
-    if not (use_pallas or interpret):
+    c = x.shape[-1]
+    if not (use_pallas or interpret) or (
+            use_pallas and not interpret
+            and not mlp_fusion_fits(x.size // c, c, w1.shape[1],
+                                    xc.dtype.itemsize, with_ln=True)):
+        # scoped-VMEM overflow route (Swin-B stage 4 in f32: the weight
+        # blocks + dW accumulators alone exceed the budget, measured
+        # 106.70M vs 100M) — identical math via the unfused composition
         return lnmlp_reference(xc, g, bt, *args, eps)
     lead = x.shape[:-1]
     o, y = _fused_lnmlp(xc.reshape(-1, x.shape[-1]), g, bt, *args,
@@ -485,7 +512,12 @@ def fused_mlp(x, w1, b1, w2, b2, dtype=jnp.float32, *,
         from vitta_tpu.ops.dispatch import pallas_enabled
         use_pallas = pallas_enabled()
     args = [t.astype(dtype) for t in (x, w1, b1, w2, b2)]
-    if not (use_pallas or interpret):
+    c = x.shape[-1]
+    if not (use_pallas or interpret) or (
+            use_pallas and not interpret
+            and not mlp_fusion_fits(x.size // c, c, w1.shape[1],
+                                    args[0].dtype.itemsize)):
+        # scoped-VMEM overflow route (see fused_ln_mlp)
         return mlp_reference(*args)
     x, w1, b1, w2, b2 = args
     lead = x.shape[:-1]
