@@ -289,6 +289,14 @@ class VittaEngine:
             self._adapt_eval_impl,
             donate_argnums=(0,) if donate else (),
         )
+        # tta_standard resets the carry to the initial pytree every video
+        # (basics.py:519-530).  Rebuilding that state eagerly per step
+        # costs hundreds of tiny zeros/cast dispatches outside jit, so the
+        # reset template is built ONCE and re-passed each step through a
+        # NON-donating jit (donation would invalidate the template's
+        # buffers on the first call).
+        self._std_template: Optional[TTAState] = None
+        self._adapt_eval_std = jax.jit(self._adapt_eval_impl)
         self._eval_only = jax.jit(self._eval_only_impl)
         self._adapt_only = jax.jit(self._adapt_only_impl)
 
@@ -550,7 +558,10 @@ class VittaEngine:
         (basics.py:519-530) — the carry is reset before the step.
         """
         if self.cfg.tta.if_tta_standard == "tta_standard":
-            state = self.init_state()._replace(step=state.step)
+            if self._std_template is None:
+                self._std_template = self.init_state()
+            state = self._std_template._replace(step=state.step)
+            return self._adapt_eval_std(state, views, eval_clip, label, rng)
         return self._adapt_eval(state, views, eval_clip, label, rng)
 
     def eval_step(self, params, eval_clip, label):
