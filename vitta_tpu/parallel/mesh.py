@@ -40,6 +40,38 @@ def initialize_distributed(coordinator: Optional[str] = None,
     return len(jax.devices())
 
 
+_BARRIER_SEQ = 0
+
+
+def coordination_barrier(tag: str, timeout_ms: int = 600_000) -> None:
+    """Host-side process barrier via the jax.distributed coordination
+    service — an RPC, NOT a device collective, so it is immune to the
+    backend collectives' fixed rendezvous timeouts.
+
+    Why it exists: the first executed collective initializes the
+    communicator (gloo on CPU, similar on TPU pods), whose key-value
+    exchange has a hard ~30 s timeout.  Per-process compile-time skew
+    easily exceeds that (measured 50 s between two identical workers on
+    a 1-core host), killing the whole run before the first step.
+    Calling this after compilation and before the first collective
+    dispatch aligns every process at a point where only execution —
+    milliseconds of skew — remains.  No-op single-process; every call
+    site must reach barriers in the same order on all processes (the
+    sequence number is appended to the id)."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except Exception:
+        client = None
+    if client is None:
+        return
+    global _BARRIER_SEQ
+    _BARRIER_SEQ += 1
+    client.wait_at_barrier(f"vitta:{tag}:{_BARRIER_SEQ}", timeout_ms)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("stream",),
               shape: Optional[Sequence[int]] = None) -> Mesh:

@@ -52,6 +52,7 @@ class StreamParallelEngine:
         # prefix pytree: one sharding broadcasts over the output tree)
         self._gather = jax.jit(lambda t: t,
                                out_shardings=NamedSharding(mesh, P()))
+        self._aligned = False
 
     # ------------------------------------------------------------------
     def _make_sharded(self, x):
@@ -80,6 +81,18 @@ class StreamParallelEngine:
         """Fully replicate (all-gather) sharded per-stream metrics so the
         host can read them — required under multi-process, harmless (one
         copy) single-process."""
+        if not self._aligned and jax.process_count() > 1:
+            # the gather is the step's ONLY collective, so its first
+            # execution initializes the communicator (gloo on CPU) whose
+            # rendezvous has a hard ~30 s key-value timeout.  By now each
+            # process has paid its own step-compile time — skew that can
+            # exceed that window — so drain local work and align on the
+            # coordination-service barrier before dispatching it
+            # (parallel/mesh.py:coordination_barrier)
+            from vitta_tpu.parallel.mesh import coordination_barrier
+            jax.block_until_ready(tree)   # local shards; no collective
+            coordination_barrier("first_gather")
+            self._aligned = True
         gathered = self._gather(tree)
         return jax.tree_util.tree_map(np.asarray, gathered)
 
