@@ -160,6 +160,8 @@ def gate(arch: str, n: int) -> dict:
 
 
 def main():
+    from vitta_tpu.cli.opts import enable_compile_cache
+    enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     for arch in (("tanet", "swin") if which == "both" else (which,)):
