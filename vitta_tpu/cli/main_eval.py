@@ -112,8 +112,14 @@ def make_datasets(cfg: VittaConfig, source_kind: str = "decord",
                                cfg.data.vid_format)
     if emit_uint8 is None:
         emit_uint8 = bool(cfg.tta.tta)
+    if cfg.data.legacy_loader and cfg.tta.tta:
+        raise ValueError(
+            "legacy_loader has no TTA-view mode (the reference's legacy "
+            "get_dataset path, basics.py:1350-1444, predates the TTA "
+            "samplers) — it serves baseline/source evaluation only")
     paired = PairedTTADataset(cfg, source, records, seed=seed,
-                              dataset_cls=dataset_cls_for(cfg.model.arch),
+                              dataset_cls=dataset_cls_for(
+                                  cfg.model.arch, cfg.data.legacy_loader),
                               emit_uint8=emit_uint8)
     return paired
 

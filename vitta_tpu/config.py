@@ -56,6 +56,10 @@ class DataConfig:
     flip_ratio: float = 0.0
     input_mean: Tuple[float, ...] = TANET_INPUT_MEAN
     input_std: Tuple[float, ...] = TANET_INPUT_STD
+    # Deprecated I3D-era loader path (the reference get_dataset 'vid'
+    # branch, basics.py:1350-1444; tsn_style is its undeclared flag).
+    legacy_loader: bool = False
+    tsn_style: bool = True
 
     @property
     def network_input_size(self) -> int:

@@ -274,8 +274,113 @@ class SwinVideoDataset:
         return self.build(i, idx, frames, rng)
 
 
-def dataset_cls_for(arch: str):
-    return SwinVideoDataset if arch == "videoswintransformer" else TANetVideoDataset
+class LegacyVideoDataset:
+    """The deprecated I3D-era video loaders — ``MyVideoDataset``
+    (consecutive-frame windows) and ``MyTSNVideoDataset`` (legacy
+    TSN-uniform sampling), datasets_/video_dataset.py:30-312 — together
+    with the legacy ``get_dataset`` transform stacks
+    (corpus/basics.py:1350-1444):
+
+    * ``dataset_type='train'``: random sampling + the training
+      augmentation (shared GroupMultiScaleCrop + 0.5-probability flip
+      with direction-sensitive label swap, utils/utils_.py:124-168);
+    * ``dataset_type='eval'``: deterministic sampling +
+      GroupScale(scale_size) -> GroupCenterCrop(input_size);
+    * ``dataset_type='raw'``: sampled frames untouched (the DUA
+      adaptation source of the legacy pair, basics.py:1407-1421).
+
+    ``tsn_style`` picks the sampler (the reference's undeclared
+    ``args.tsn_style`` flag, basics.py:1372).  Output
+    ``(num_clips, T, S, S, 3)``, channels-last, float32 normalized or
+    uint8 with ``emit_uint8``."""
+
+    def __init__(self, cfg: VittaConfig, source: VideoSource,
+                 records: Optional[List[VideoRecord]] = None,
+                 dataset_type: str = "eval", seed: int = 0,
+                 emit_uint8: bool = False, tsn_style: bool = True):
+        d = cfg.data
+        self.cfg = cfg
+        self.source = source
+        self.dataset_type = dataset_type
+        self.emit_uint8 = emit_uint8
+        if records is None:
+            list_file = d.val_vid_list
+            records = parse_list_file(list_file, filter_short=False,
+                                      debug=d.debug, debug_vid=d.debug_vid)
+        self.records = records
+        self.seed = seed
+        self.tsn_style = tsn_style
+        self.clip_len = d.clip_length
+        self.frame_interval = d.frame_interval
+        self.num_clips = d.num_clips
+        self.input_size = d.network_input_size
+        self.scale_size = d.scale_size
+        self.mean, self.std = d.input_mean, d.input_std
+        from vitta_tpu.config import label_flip_map
+        self.label_flip = label_flip_map(d.dataset)
+
+    def __len__(self):
+        return len(self.records)
+
+    def _rng_for(self, i: int) -> np.random.Generator:
+        return np.random.default_rng(np.random.SeedSequence(
+            entropy=self.seed, spawn_key=(i,)))
+
+    def sample_indices(self, i: int):
+        rec = self.records[i]
+        test_mode = self.dataset_type != "train"
+        rng = None if test_mode else self._rng_for(i)
+        if self.tsn_style:
+            idx = sampling.sample_legacy_tsn(
+                rec.num_frames, self.clip_len, self.num_clips,
+                test_mode=test_mode, rng=rng)
+        else:
+            idx = sampling.sample_legacy_consecutive(
+                rec.num_frames, self.clip_len, self.frame_interval,
+                self.num_clips, test_mode=test_mode, rng=rng)
+        return idx, (rng if not test_mode else self._rng_for(i))
+
+    def build(self, i: int, idx: np.ndarray, frames: np.ndarray,
+              rng: Optional[np.random.Generator]) -> Sample:
+        rec = self.records[i]
+        label = rec.label
+        if self.dataset_type == "raw":
+            return Sample(frames=frames.astype(np.uint8), label=label,
+                          index=i)
+        if self.dataset_type == "train":
+            # one shared crop box + flip decision across every frame of
+            # every clip (group transforms see the full PIL list,
+            # basics.py:1353-1357)
+            frames, label = transforms.train_augment(
+                frames, label, self.input_size, rng,
+                label_transforms=self.label_flip)
+        else:
+            frames = transforms.scale_center_crop(
+                frames, self.scale_size, self.input_size)
+        n_clips = idx.shape[0] // self.clip_len
+        out = frames.reshape(n_clips, self.clip_len, *frames.shape[1:])
+        if not self.emit_uint8:
+            out = transforms.normalize_clip(out, self.mean, self.std)
+        dtype = np.uint8 if self.emit_uint8 else np.float32
+        return Sample(frames=out.astype(dtype), label=label, index=i)
+
+    def __getitem__(self, i: int) -> Sample:
+        idx, rng = self.sample_indices(i)
+        frames = self.source.get_batch(self.records[i].path, idx)
+        return self.build(i, idx, frames, rng)
+
+
+def dataset_cls_for(arch: str, legacy_loader: bool = False):
+    """Dataset routing per arch (main_eval.py:102-227): Swin has its own
+    mmaction-style pipeline; TANet's dataset also serves the secondary
+    archs unless ``legacy_loader`` opts into the deprecated I3D-era
+    loaders (the reference's ``get_dataset`` 'vid' path,
+    basics.py:1350-1444)."""
+    if arch == "videoswintransformer":
+        return SwinVideoDataset
+    if legacy_loader and arch not in ("tanet",):
+        return LegacyVideoDataset
+    return TANetVideoDataset
 
 
 class PairedTTADataset:

@@ -222,3 +222,90 @@ def sample_dense_clips_test(num_frames: int, clip_len: int, frame_interval: int,
     frame_inds = clip_offsets[:, None] + np.arange(clip_len)[None, :] * frame_interval
     frame_inds = np.mod(frame_inds, num_frames)
     return _clamp(np.concatenate(frame_inds), num_frames)
+
+
+# ---------------------------------------------------------------------------
+# Legacy I3D-era samplers (datasets_/video_dataset.py)
+# ---------------------------------------------------------------------------
+
+def sample_legacy_consecutive(num_frames: int, clip_len: int,
+                              frame_interval: int = 1, num_clips: int = 1,
+                              test_mode: bool = False,
+                              rng: np.random.Generator | None = None
+                              ) -> np.ndarray:
+    """``MyVideoDataset`` consecutive-window sampling
+    (datasets_/video_dataset.py:79-125): ``num_clips`` windows of
+    ``clip_len`` frames with stride ``frame_interval``; train mode
+    randomizes each window's start within its share of the video, test
+    mode centers the windows.  Indices wrap modulo ``num_frames``
+    (:123) — no +1 offset and no clamp in this family.  Returns
+    concatenated (num_clips*clip_len,) 0-based decode indices."""
+    ori_clip_len = clip_len * frame_interval
+    if test_mode:
+        # :100-108 (modern-dtype equivalent of the removed np.int)
+        avg_interval = (num_frames - ori_clip_len + 1) / float(num_clips)
+        if num_frames > ori_clip_len - 1:
+            base = np.arange(num_clips) * avg_interval
+            offsets = (base + avg_interval / 2.0).astype(np.int64)
+        else:
+            offsets = np.zeros((num_clips,), dtype=np.int64)
+    else:
+        assert rng is not None, "train mode needs an rng"
+        # :79-98, branch order preserved (avg_interval may be negative
+        # for clips longer than the video -> final zeros branch)
+        avg_interval = (num_frames - ori_clip_len + 1) // num_clips
+        if avg_interval > 0:
+            base = np.arange(num_clips) * avg_interval
+            offsets = base + rng.integers(0, avg_interval, size=num_clips)
+        elif num_frames > max(num_clips, ori_clip_len):
+            offsets = np.sort(rng.integers(
+                0, num_frames - ori_clip_len + 1, size=num_clips))
+        elif avg_interval == 0:
+            ratio = (num_frames - ori_clip_len + 1.0) / num_clips
+            offsets = np.around(np.arange(num_clips) * ratio).astype(np.int64)
+        else:
+            offsets = np.zeros((num_clips,), dtype=np.int64)
+    inds = offsets[:, None] + np.arange(clip_len)[None, :] * frame_interval
+    return np.mod(np.concatenate(inds), num_frames).astype(np.int64)
+
+
+def sample_legacy_tsn(num_frames: int, clip_len: int, num_clips: int = 1,
+                      test_mode: bool = False,
+                      rng: np.random.Generator | None = None) -> np.ndarray:
+    """``MyTSNVideoDataset`` legacy TSN-uniform sampling
+    (datasets_/video_dataset.py:240-287): the video is divided into
+    ``clip_len`` segments whose lengths differ by at most one (the
+    remainder goes to the FIRST segments, ``uniform_divide_segment``
+    :240-248); train mode draws one random frame per segment with
+    *inclusive* borders (:250-270), test mode takes
+    ``arange(clip_len)*floor(n/clip_len) + floor(seg_len/2)`` for a
+    single clip regardless of ``num_clips`` (:272-286).  Videos shorter
+    than ``clip_len`` repeat the last frame.  Indices are 0-based and
+    clamped like the loader's decode (:301)."""
+    if test_mode:
+        if num_frames >= clip_len:
+            seg_len = num_frames // clip_len
+            half = int(np.floor(seg_len / 2.0))
+            sel = np.arange(clip_len) * seg_len + half
+        else:
+            sel = np.concatenate([
+                np.arange(num_frames),
+                np.full((clip_len - num_frames,), num_frames - 1)])
+        out = sel[None, :]
+    else:
+        assert rng is not None, "train mode needs an rng"
+        out = np.zeros((num_clips, clip_len), dtype=np.int64)
+        if num_frames >= clip_len:
+            seg_len = num_frames // clip_len
+            seg_lens = np.full((clip_len,), seg_len, dtype=np.int64)
+            seg_lens[: num_frames - seg_len * clip_len] += 1
+            ends = np.cumsum(seg_lens)
+            starts = ends - seg_lens
+            for c in range(num_clips):
+                # random.randint(start, end) has inclusive borders
+                out[c] = [int(rng.integers(s, e)) for s, e in zip(starts, ends)]
+        else:
+            out[:] = np.concatenate([
+                np.arange(num_frames),
+                np.full((clip_len - num_frames,), num_frames - 1)])
+    return _clamp(out.reshape(-1), num_frames)
