@@ -162,6 +162,21 @@ def test_parallel_group_kill_resume(engine, tmp_path):
     assert ckpt2.restore(template=None) is None
 
 
+def test_manifest_mismatch_errors_loudly(tmp_path):
+    """The sweep keys checkpoint directories by a short hash of the
+    group's corruption list (cli/drivers.py); the full list is pinned in
+    a manifest so a different group composition can never silently
+    restore a mismatched state."""
+    d = str(tmp_path / "mf")
+    StreamCheckpointer(d, every=1, manifest={"corruptions": ["gauss", "rain"]})
+    # same manifest reopens fine
+    StreamCheckpointer(d, every=1, manifest={"corruptions": ["gauss", "rain"]})
+    with pytest.raises(RuntimeError, match="different stream group"):
+        StreamCheckpointer(d, every=1, manifest={"corruptions": ["gauss"]})
+    # manifest-less open (legacy path) is unaffected
+    StreamCheckpointer(d, every=1)
+
+
 def test_checkpointer_clear_and_missing(tmp_path):
     ckpt = StreamCheckpointer(str(tmp_path / "c2"), every=1)
     assert ckpt.restore(template={}) is None

@@ -269,11 +269,11 @@ class VittaEngine:
             compute_dtype = jnp.dtype(getattr(model, "dtype", jnp.float32))
         except TypeError:
             compute_dtype = jnp.float32
-        import os
+        from vitta_tpu.ops.dispatch import flag_enabled
         self._half = (self._fused_sgd
                       and compute_dtype == jnp.bfloat16
                       and cfg.model.arch == "videoswintransformer"
-                      and not os.environ.get("VITTA_NO_HALF_TWIN"))
+                      and not flag_enabled("VITTA_NO_HALF_TWIN", False))
         self._half_flags = (half_cast_flags(self.init_params)
                             if self._half else None)
         if self._fused_sgd:

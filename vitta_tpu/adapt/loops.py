@@ -51,6 +51,15 @@ def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
     if meter_state:
         _preload_meter(top1, meter_state["top1"])
         _preload_meter(top5, meter_state["top5"])
+        # loss meters are part of the resumed trajectory too (the JSONL
+        # metric averages and the returned meters dict must match an
+        # uninterrupted run); batch_time is wall-clock of THIS process
+        # and deliberately restarts.
+        for name, meter in (("loss_reg", losses_reg),
+                            ("loss_consis", losses_consis),
+                            ("loss_ce", losses_ce)):
+            if name in meter_state:
+                _preload_meter(meter, meter_state[name])
     batch_time = AverageMeter()
     end = time.time()
     for bi, (views, clip, label) in enumerate(paired_data, start=start_index):
@@ -78,7 +87,11 @@ def tta_stream(engine: VittaEngine, paired_data, seed: int = 0,
         if checkpointer is not None and (bi + 1) % checkpointer.every == 0:
             checkpointer.save(state, bi + 1,
                               {"top1": (top1.sum, top1.count),
-                               "top5": (top5.sum, top5.count)})
+                               "top5": (top5.sum, top5.count),
+                               "loss_reg": (losses_reg.sum, losses_reg.count),
+                               "loss_consis": (losses_consis.sum,
+                                               losses_consis.count),
+                               "loss_ce": (losses_ce.sum, losses_ce.count)})
     if checkpointer is not None:
         checkpointer.clear()
     meters = dict(top1=top1, top5=top5, loss_reg=losses_reg,

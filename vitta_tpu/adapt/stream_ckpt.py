@@ -7,8 +7,9 @@ stream.  This module checkpoints the carried ``TTAState`` (params,
 optimizer momentum, EMA statistics, step — everything the online loop
 threads across videos) plus the host-side meters every N videos, so a
 killed run resumes mid-stream and reproduces the uninterrupted
-trajectory exactly (the stream, its per-video RNG folds and the data
-pipeline are all deterministic in the video index).
+trajectory exactly (the stream, its per-video RNG folds, the loss/acc
+meter averages and the data pipeline are all deterministic in the video
+index; only wall-clock ``batch_time`` restarts).
 
 The reference has no equivalent — its adapted model is never saved
 (corpus/basics.py:742-745 commented out) and an interrupted run restarts
@@ -20,6 +21,16 @@ Layout under ``directory``:
   latest.json     commit marker {"next_bi", "path", "meters"} — written
                   only after the orbax save completes, so a kill during
                   save leaves the previous checkpoint valid
+  manifest.json   identity of the stream group this directory belongs
+                  to (corruption names etc.); a mismatch on open errors
+                  loudly instead of silently restoring a state adapted
+                  on a different group layout
+
+Multi-process runs (jax.distributed pods): orbax coordinates the array
+save across hosts itself; the commit marker, manifest and superseded-
+checkpoint cleanup are host-side filesystem mutations and are executed
+by process 0 only, so concurrent hosts never race rmtree against
+another host's in-flight save.
 """
 
 from __future__ import annotations
@@ -30,15 +41,48 @@ import shutil
 from typing import Optional, Tuple
 
 
+def _is_primary() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
 class StreamCheckpointer:
-    def __init__(self, directory: str, every: int = 50):
+    def __init__(self, directory: str, every: int = 50,
+                 manifest: Optional[dict] = None):
         self.directory = os.path.abspath(directory)
         self.every = max(1, int(every))
         os.makedirs(self.directory, exist_ok=True)
+        if manifest is not None:
+            self._check_manifest(manifest)
 
     @property
     def _latest_path(self) -> str:
         return os.path.join(self.directory, "latest.json")
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.directory, "manifest.json")
+
+    def _check_manifest(self, manifest: dict) -> None:
+        """Pin the directory to one stream-group identity.  The sweep
+        drivers key directories by a short hash of the group's
+        corruption list (cli/drivers.py); the full list lives here so a
+        hash collision or a hand-edited directory can never silently
+        resume a state adapted under a different group layout."""
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                stored = json.load(f)
+            if stored != manifest:
+                raise RuntimeError(
+                    f"stream checkpoint directory {self.directory} belongs "
+                    f"to a different stream group: stored manifest "
+                    f"{stored!r} != requested {manifest!r}. Use a fresh "
+                    f"result_dir or clear the checkpoint.")
+        elif _is_primary():
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path)
 
     def save(self, state, next_bi: int, meters: dict) -> None:
         """Checkpoint ``state``; ``meters`` is {name: (sum, count)} where
@@ -48,7 +92,10 @@ class StreamCheckpointer:
         import orbax.checkpoint as ocp
 
         path = os.path.join(self.directory, f"step_{next_bi}")
+        # orbax coordinates the multi-host array save internally
         ocp.PyTreeCheckpointer().save(path, state, force=True)
+        if not _is_primary():
+            return
         tmp = self._latest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"next_bi": int(next_bi), "path": path,
@@ -56,7 +103,8 @@ class StreamCheckpointer:
                                       int(c)]
                                   for k, (s, c) in meters.items()}}, f)
         os.replace(tmp, self._latest_path)
-        # drop superseded checkpoints
+        # drop superseded checkpoints (primary only — a non-primary host
+        # must never rmtree a directory another host is still writing)
         for name in os.listdir(self.directory):
             if name.startswith("step_") and name != f"step_{next_bi}":
                 shutil.rmtree(os.path.join(self.directory, name),
@@ -86,5 +134,7 @@ class StreamCheckpointer:
 
     def clear(self) -> None:
         """Remove the checkpoint (called when the stream completes, so a
-        later --resume of the sweep does not resurrect a stale state)."""
-        shutil.rmtree(self.directory, ignore_errors=True)
+        later --resume of the sweep does not resurrect a stale state).
+        Primary-host only under multi-process."""
+        if _is_primary():
+            shutil.rmtree(self.directory, ignore_errors=True)

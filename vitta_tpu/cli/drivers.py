@@ -137,19 +137,33 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
             d -= 1
         mesh = make_mesh(d, ("stream",))
         # mid-stream state checkpointing (adapt/stream_ckpt.py): directory
-        # keyed by the group's corruption names so a layout change between
-        # runs can never restore a mismatched state
+        # keyed by a short hash of the group's corruption list (full names
+        # can exceed filename limits for 12 long corruptions); the full
+        # list is pinned in the directory's manifest, so a changed group
+        # composition errors loudly instead of restoring a mismatched
+        # state under a colliding key
         ckpt = None
         if cfg.runtime.stream_ckpt_every > 0:
+            import hashlib
+
             from vitta_tpu.adapt.stream_ckpt import StreamCheckpointer
-            gname = "-".join(pending[g0:g0 + group_cap])
-            ckpt = StreamCheckpointer(
-                os.path.join(cfg.runtime.result_dir,
-                             f"stream_ckpt_group_{gname}"),
-                cfg.runtime.stream_ckpt_every)
+            group_names = list(pending[g0:g0 + group_cap])
+            gkey = hashlib.sha1(
+                "|".join(group_names).encode()).hexdigest()[:12]
+            ckpt_dir = os.path.join(cfg.runtime.result_dir,
+                                    f"stream_ckpt_group_{gkey}")
             if not cfg.runtime.resume:
-                ckpt.clear()
-                os.makedirs(ckpt.directory, exist_ok=True)
+                # primary clears; others wait so the constructor's
+                # manifest check never races the rmtree
+                if jax.process_index() == 0:
+                    import shutil
+                    shutil.rmtree(ckpt_dir, ignore_errors=True)
+                if jax.process_count() > 1:
+                    from vitta_tpu.parallel.mesh import coordination_barrier
+                    coordination_barrier("stream_ckpt_clear")
+            ckpt = StreamCheckpointer(ckpt_dir,
+                                      cfg.runtime.stream_ckpt_every,
+                                      manifest={"corruptions": group_names})
         got, _state = run_parallel_streams(engine, mesh, group,
                                            seed=cfg.runtime.seed, logger=logger,
                                            checkpointer=ckpt)

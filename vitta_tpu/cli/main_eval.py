@@ -151,20 +151,23 @@ def evaluate(cfg: VittaConfig, corruption: str = "",
         # restarting the whole stream
         ckpt, state0, start, meter_state = None, None, 0, None
         if cfg.runtime.stream_ckpt_every > 0:
+            import shutil
+
             from vitta_tpu.adapt.stream_ckpt import StreamCheckpointer
+            ckpt_dir = os.path.join(cfg.runtime.result_dir,
+                                    f"stream_ckpt_{corruption or 'run'}")
+            if not cfg.runtime.resume:
+                # a stale state must not leak into a later --resume
+                shutil.rmtree(ckpt_dir, ignore_errors=True)
             ckpt = StreamCheckpointer(
-                os.path.join(cfg.runtime.result_dir,
-                             f"stream_ckpt_{corruption or 'run'}"),
-                cfg.runtime.stream_ckpt_every)
+                ckpt_dir, cfg.runtime.stream_ckpt_every,
+                manifest={"corruptions": [corruption or "run"]})
             if cfg.runtime.resume:
                 got = ckpt.restore(engine.init_state())
                 if got is not None:
                     state0, start, meter_state = got
                     logger.info(f"resume: mid-stream checkpoint at video "
                                 f"{start} ({corruption})")
-            else:
-                ckpt.clear()  # a stale state must not leak into --resume
-                os.makedirs(ckpt.directory, exist_ok=True)
         # JSONL scalar stream in the result dir — the counterpart of the
         # reference's tensorboardX writer (main_eval.py:85)
         from vitta_tpu.utils.observability import MetricsWriter

@@ -290,17 +290,26 @@ class LegacyVideoDataset:
       adaptation source of the legacy pair, basics.py:1407-1421).
 
     ``tsn_style`` picks the sampler (the reference's undeclared
-    ``args.tsn_style`` flag, basics.py:1372).  Output
-    ``(num_clips, T, S, S, 3)``, channels-last, float32 normalized or
-    uint8 with ``emit_uint8``."""
+    ``args.tsn_style`` flag, basics.py:1372); when left ``None`` it
+    reads ``cfg.data.tsn_style``, so the config knob governs every
+    construction path (incl. PairedTTADataset / dataset_cls_for, which
+    pass only the class).  Output ``(num_clips, T, S, S, 3)``,
+    channels-last, float32 normalized or uint8 with ``emit_uint8``."""
 
     def __init__(self, cfg: VittaConfig, source: VideoSource,
                  records: Optional[List[VideoRecord]] = None,
                  dataset_type: str = "eval", seed: int = 0,
-                 emit_uint8: bool = False, tsn_style: bool = True):
+                 emit_uint8: bool = False, tsn_style: Optional[bool] = None):
         d = cfg.data
         self.cfg = cfg
         self.source = source
+        # 'tta' is the PairedTTADataset label for its views half; the
+        # legacy loaders have no TTA-view mode (main_eval.py guards
+        # legacy_loader+tta), so it deliberately aliases the
+        # deterministic eval pipeline for the baseline-only pairing.
+        if dataset_type not in ("train", "eval", "raw", "tta"):
+            raise ValueError(f"LegacyVideoDataset: unknown dataset_type "
+                             f"{dataset_type!r}")
         self.dataset_type = dataset_type
         self.emit_uint8 = emit_uint8
         if records is None:
@@ -309,7 +318,7 @@ class LegacyVideoDataset:
                                       debug=d.debug, debug_vid=d.debug_vid)
         self.records = records
         self.seed = seed
-        self.tsn_style = tsn_style
+        self.tsn_style = d.tsn_style if tsn_style is None else tsn_style
         self.clip_len = d.clip_length
         self.frame_interval = d.frame_interval
         self.num_clips = d.num_clips
@@ -375,10 +384,19 @@ def dataset_cls_for(arch: str, legacy_loader: bool = False):
     mmaction-style pipeline; TANet's dataset also serves the secondary
     archs unless ``legacy_loader`` opts into the deprecated I3D-era
     loaders (the reference's ``get_dataset`` 'vid' path,
-    basics.py:1350-1444)."""
+    basics.py:1350-1444).  TANet has no legacy pipeline (the reference
+    always routes it through get_dataset_tanet, main_eval.py:102-122),
+    so ``legacy_loader`` with arch='tanet' is a misconfiguration and
+    fails loudly instead of silently falling back."""
     if arch == "videoswintransformer":
         return SwinVideoDataset
-    if legacy_loader and arch not in ("tanet",):
+    if legacy_loader:
+        if arch == "tanet":
+            raise ValueError(
+                "legacy_loader is not valid for arch='tanet': the "
+                "reference has no legacy TANet pipeline "
+                "(corpus/main_eval.py:102-122 always uses "
+                "get_dataset_tanet). Drop data.legacy_loader.")
         return LegacyVideoDataset
     return TANetVideoDataset
 
