@@ -70,6 +70,43 @@ COMBO_CONFIGS = [
 ]
 
 
+# Round-5 pass: trace-driven candidates from the Swin bf16 speed-of-light
+# analysis (benchmarks/PERF.md round-5 section) — the in-model
+# pattern-proof patchify (kills the patch-embed conv + its pathological
+# input relayout, ~3.9 ms pool) and the compact Toeplitz bias (kills the
+# bias expansion/collapse kernels + the dense (nh,N,N) HBM round trips,
+# ~3 ms pool; also re-fits stage-4 f32 onto the packed kernel) — each in
+# isolation, combined, on the uint8 production wire, and at fp32.
+R5_CONFIGS = [
+    ("swin_bf16_base_r5", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16"}),
+    ("swin_bf16_patchify_v2", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_PATCHIFY_V2": "1"}),
+    ("swin_bf16_compact_bias", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_COMPACT_BIAS": "1"}),
+    ("swin_bf16_v2_compact", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_PATCHIFY_V2": "1", "VITTA_COMPACT_BIAS": "1"}),
+    ("swin_bf16_v2_compact_uint8", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_PATCHIFY_V2": "1", "VITTA_COMPACT_BIAS": "1",
+        "BENCH_UINT8": "1"}),
+    # fp32 (the accuracy-parity configuration; round-4 defaults were
+    # validated on bf16 only — VERDICT r4 item 4)
+    ("swin_fp32_base_r5", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "float32"}),
+    ("swin_fp32_v2_compact", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "float32",
+        "VITTA_PATCHIFY_V2": "1", "VITTA_COMPACT_BIAS": "1"}),
+    ("tanet_fp32_base_r5", {
+        "BENCH_MODEL": "tanet", "BENCH_DTYPE": "float32"}),
+    ("tanet_bf16_base_r5", {
+        "BENCH_MODEL": "tanet", "BENCH_DTYPE": "bfloat16"}),
+]
+
+
 def run_one(name: str, env_overrides: dict, out_path: str,
             timeout_s: int = 5400) -> dict:
     env = dict(os.environ)
@@ -104,7 +141,14 @@ def run_one(name: str, env_overrides: dict, out_path: str,
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flag_sweep.jsonl"
-    configs = COMBO_CONFIGS if "--combos" in sys.argv else CONFIGS
+    configs = CONFIGS
+    if "--combos" in sys.argv:
+        configs = COMBO_CONFIGS
+    elif "--r5" in sys.argv:
+        configs = R5_CONFIGS
+    only = [a for a in sys.argv[2:] if not a.startswith("-")]
+    if only:
+        configs = [(n, e) for n, e in configs if n in only]
     for name, env in configs:
         run_one(name, env, out_path)
 

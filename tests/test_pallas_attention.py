@@ -130,6 +130,119 @@ def test_packed_bfloat16_forward():
                                rtol=3e-2, atol=3e-2)
 
 
+def _compact_inputs(b_=6, nh=2, hd=8, wd=3, wh=2, ww=4, nw=3,
+                    with_mask=True, seed=0, dtype=jnp.float32):
+    """Window-structured inputs with the bias in BOTH forms: dense
+    (nh, N, N) and compact Toeplitz (nh, 2wd-1, hw, hw)."""
+    from vitta_tpu.ops.pallas_bias import assemble_dense
+    n = wd * wh * ww
+    hw = wh * ww
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    q = jax.random.normal(ks[0], (b_, n, nh, hd), dtype)
+    k = jax.random.normal(ks[1], (b_, n, nh, hd), dtype)
+    v = jax.random.normal(ks[2], (b_, n, nh, hd), dtype)
+    vc = jax.random.normal(ks[3], (nh, 2 * wd - 1, hw, hw), jnp.float32)
+    dense = assemble_dense(vc, wd, use_pallas=False)
+    mask = None
+    if with_mask:
+        raw = jax.random.bernoulli(ks[4], 0.3, (nw, n, n))
+        mask = jnp.where(raw, -100.0, 0.0).astype(jnp.float32)
+    return q, k, v, vc, dense, mask, wd
+
+
+def test_assemble_dense_pallas_matches_jnp():
+    from vitta_tpu.ops.pallas_bias import assemble_dense
+    vc = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 8, 8), jnp.float32)
+    got = assemble_dense(vc, 3, use_pallas=False, interpret=True)
+    want = assemble_dense(vc, 3, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # block-Toeplitz structure spot check: block (d1, d2) == slice d1-d2+wd-1
+    w = np.asarray(want)
+    np.testing.assert_array_equal(w[:, 16:24, 0:8], np.asarray(vc)[:, 4])
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_compact_bias_matches_dense(with_mask):
+    """The packed kernel consuming the compact Toeplitz bias equals the
+    dense-bias path — forward and (dqkv, d compact-bias) gradients."""
+    from vitta_tpu.ops.pallas_attention import fused_window_attention_packed
+    from vitta_tpu.ops.pallas_bias import assemble_dense
+
+    q, k, v, vc, dense, mask, wd = _compact_inputs(with_mask=with_mask)
+    b_, n, nh, hd = q.shape
+    scale = hd ** -0.5
+    qkv = _pack(q, k, v)
+
+    out_c = fused_window_attention_packed(qkv, vc, mask, scale, nh,
+                                          interpret=True)
+    out_d = fused_window_attention_packed(qkv, dense, mask, scale, nh,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_c(qkv_, vc_):
+        out = fused_window_attention_packed(qkv_, vc_, mask, scale, nh,
+                                            interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(qkv_, vc_):
+        d = assemble_dense(vc_, wd, use_pallas=False)
+        q5 = qkv_.reshape(b_, n, 3, nh, hd)
+        out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                                  d, mask, scale).reshape(b_, n, nh * hd)
+        return jnp.sum(out * jnp.sin(out))
+
+    g_c = jax.grad(loss_c, argnums=(0, 1))(qkv, vc)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(qkv, vc)
+    for a, b, name in zip(g_c, g_r, ("dqkv", "dvc")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_compact_bias_from_table_matches_expansion():
+    """compact_bias + assemble equals the einsum relative_position_bias
+    for a real table (both are exact selections)."""
+    from vitta_tpu.models.swin import relative_position_bias
+    from vitta_tpu.ops.pallas_bias import assemble_dense, compact_bias
+    ws = (2, 3, 3)
+    t4 = jax.random.normal(jax.random.PRNGKey(4),
+                           (3, 5, 5, 2), jnp.float32)
+    want = relative_position_bias(t4, ws, use_pallas=False)
+    vc = compact_bias(t4, ws)
+    got = assemble_dense(vc, ws[0], use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_window_attention_compact_flag_equivalence(monkeypatch):
+    """WindowAttention3D under VITTA_COMPACT_BIAS=1 (interpret kernels)
+    matches the default jnp path — outputs and parameter gradients."""
+    from vitta_tpu.models.swin import WindowAttention3D
+    import vitta_tpu.ops.pallas_attention as pa
+
+    n = 2 * 3 * 3
+    mod = WindowAttention3D(16, (2, 3, 3), 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, n, 16), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(2), x)
+
+    def loss(p):
+        return jnp.sum(jnp.square(mod.apply(p, x)))
+
+    g_ref = jax.grad(loss)(params)
+    orig = pa.fused_window_attention_packed
+    try:
+        monkeypatch.setenv("VITTA_COMPACT_BIAS", "1")
+        pa.fused_window_attention_packed = lambda *a, **kw: orig(
+            *a, **{**kw, "interpret": True})
+        g_pal = jax.grad(loss)(params)
+    finally:
+        pa.fused_window_attention_packed = orig
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-4),
+        g_ref, g_pal)
+
+
 def test_swin_block_uses_fused_path_equivalently():
     """Full WindowAttention3D module: interpret-pallas vs default (jnp)
     path produce the same output and parameter gradients."""

@@ -208,7 +208,21 @@ def enable_compile_cache():
         pass  # cache is best-effort; never fail a run over it
 
 
+def apply_platform_override():
+    """``VITTA_PLATFORM=cpu`` pins the CLI to a backend after import.
+    Plain ``JAX_PLATFORMS`` does not work on plugin-captured
+    environments (the TPU plugin reads it at import time), so this goes
+    through jax.config — useful for CPU smoke drives while the chip is
+    busy, and mirrors what tests/conftest.py does."""
+    import os
+    plat = os.environ.get("VITTA_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def get_opts(argv=None):
     args = build_parser().parse_args(argv)
+    apply_platform_override()
     enable_compile_cache()
     return args, config_from_args(args)

@@ -205,7 +205,15 @@ class WindowAttention3D(nn.Module):
         wproj, bproj = _DenseParams(c, name="proj")(c)
         full_n = wd * wh * ww
         if n == full_n:
-            bias_hqk = relative_position_bias(table, (wd, wh, ww))
+            from vitta_tpu.ops.dispatch import compact_bias_enabled
+            if compact_bias_enabled():
+                # compact Toeplitz form (nh, A, hw, hw): the packed
+                # attention kernels assemble the per-head dense bias in
+                # VMEM — the (nh, N, N) tensor never touches HBM
+                from vitta_tpu.ops.pallas_bias import compact_bias
+                bias_hqk = compact_bias(table, (wd, wh, ww))
+            else:
+                bias_hqk = relative_position_bias(table, (wd, wh, ww))
         else:
             # clamped effective window (input smaller than the window):
             # the first-n positions of the configured flattening are not
@@ -554,6 +562,33 @@ def patchify(x, patch_size):
     return x.reshape(b, t // pd, h // ph, w // pw, pd * ph * pw * c)
 
 
+def patchify_mm(x, patch_size):
+    """Pattern-match-proof unfold: (B, T, H, W, c) ->
+    (B, T/pd, H/ph, W/pw, c*pd*ph*pw) in **(c, t, h, w)** element order —
+    deliberately NOT the Conv3d contraction order (t, h, w, c), so XLA's
+    algebraic simplifier cannot rewrite the unfold+matmul back into the
+    strided conv.  That rewrite is what sank the round-3 f32 patchify
+    (3.4 -> 9.8 ms/step): the conv form forces the input into a
+    channel-minor tiled layout where C=3 occupies a 128-lane tile — the
+    round-5 trace shows 1.3 ms/step of that relayout copy plus ~2.9 ms
+    of conv kernels, all replaced here by one cheap transpose whose
+    destination layout is the 96-wide packed axis.  Pair with
+    ``kernel_mm`` on the Conv3d parameters."""
+    pd, ph, pw = patch_size
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // pd, pd, h // ph, ph, w // pw, pw, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))
+    return x.reshape(b, t // pd, h // ph, w // pw, c * pd * ph * pw)
+
+
+def kernel_mm(kernel):
+    """Conv3d kernel (pd, ph, pw, in, out) -> (in*pd*ph*pw, out) rows in
+    ``patchify_mm``'s (c, t, h, w) element order."""
+    pd, ph, pw, cin, cout = kernel.shape
+    return jnp.transpose(kernel, (3, 0, 1, 2, 4)).reshape(
+        cin * pd * ph * pw, cout)
+
+
 class _PatchEmbedParams(nn.Module):
     """Owns the patch-embed Conv3d's kernel/bias (same names, shapes and
     init as nn.Conv) without running the conv — the pre-patchified input
@@ -595,6 +630,7 @@ class SwinTransformer3D(nn.Module):
         embedded with a flat matmul over the same Conv3d parameters."""
         pd, ph, pw = self.patch_size
         packed = pd * ph * pw * 3
+        from vitta_tpu.ops.dispatch import patchify_v2_enabled
         if x.shape[-1] == packed:
             kernel, bias = _PatchEmbedParams(
                 tuple(self.patch_size), 3, self.embed_dim,
@@ -602,6 +638,17 @@ class SwinTransformer3D(nn.Module):
             x = jnp.dot(x.astype(self.dtype),
                         kernel.reshape(packed, self.embed_dim)
                         .astype(self.dtype)) + bias.astype(self.dtype)
+        elif (patchify_v2_enabled() and x.shape[1] % pd == 0
+              and x.shape[2] % ph == 0 and x.shape[3] % pw == 0):
+            # in-model unfold + matmul in a conv-foreign element order
+            # (see patchify_mm): the strided Conv3d and its input
+            # relayout never materialize
+            kernel, bias = _PatchEmbedParams(
+                tuple(self.patch_size), 3, self.embed_dim,
+                name="patch_embed_proj")()
+            xp = patchify_mm(x.astype(self.dtype), tuple(self.patch_size))
+            x = (jnp.dot(xp, kernel_mm(kernel).astype(self.dtype))
+                 + bias.astype(self.dtype))
         else:
             t, hh, ww_ = x.shape[1:4]
             pad = ((0, 0), (0, (-t) % pd), (0, (-hh) % ph),

@@ -56,6 +56,33 @@ def patchify_enabled() -> bool:
     return flag_enabled("VITTA_PATCHIFY", False)
 
 
+def patchify_v2_enabled() -> bool:
+    """In-model patch-embed unfold + flat matmul in a conv-foreign
+    element order (models/swin.py:patchify_mm).  Unlike VITTA_PATCHIFY
+    (host/engine-side, uint8, conv contraction order — rejected at
+    50.09 vs 49.01), the (c, t, h, w) element order blocks XLA's
+    unfold->conv rewrite on ANY input dtype, so the strided Conv3d and
+    its pathological input relayout (C=3 forced minor into a 128-lane
+    tile: 1.3 ms/step of copies + ~2.9 ms of conv kernels in the
+    round-5 trace) never materialize.  Default OFF pending the TPU
+    measurement."""
+    return flag_enabled("VITTA_PATCHIFY_V2", False)
+
+
+def compact_bias_enabled() -> bool:
+    """Carry the relative-position bias in its compact Toeplitz form
+    (nh, A, hw, hw) all the way into the packed attention kernels, which
+    assemble the per-head dense (N, N) bias in VMEM
+    (ops/pallas_bias.py:compact_bias, pallas_attention.py:_bias_head).
+    Removes the standalone expansion/collapse kernels and the dense
+    (nh, N, N) HBM round trip per (block, pass) — ~3 ms/step of bias
+    machinery in the round-5 Swin-B bf16 trace — and shrinks the packed
+    backward's VMEM stack ~4x on its two largest terms, which brings
+    Swin-B stage-4 f32 back onto the packed kernel.  Default OFF
+    pending the TPU measurement."""
+    return flag_enabled("VITTA_COMPACT_BIAS", False)
+
+
 def attn_ln_enabled() -> bool:
     """Fuse the pre-attention LayerNorm (norm1) into the window-attention
     kernel's prologue (ops/pallas_attention.py:_proj_ln_*), mirroring the

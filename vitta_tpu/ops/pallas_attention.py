@@ -287,15 +287,23 @@ def proj_fusion_fits(n, c, nh, itemsize, with_mask, with_ln=False,
                                 with_ln) <= budget
 
 
-def _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask):
+def _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask,
+                           bias_elems=None):
     """Estimated scoped-VMEM stack of the packed backward kernel (all
     heads resident per window grid step).  Calibrated against Mosaic's
     accounting at Swin-B stage 4 (n=392, c=1024, nh=32): f32 measures
     117.67 MB on-chip (the round-4 bf16-gate run) and must be rejected;
     bf16 ran the whole round-4 flag sweep under the 100 MB limit and
-    must keep fitting."""
-    b = 2 * nh * n * n * 4               # bias const block, double-buffered
-    b += nh * n * n * 4                  # f32 dbias revisited accumulator
+    must keep fitting.  ``bias_elems`` overrides the per-bias-buffer
+    element count for the compact Toeplitz form (nh*A*hw² instead of
+    nh*N²); the assembled per-head dense bias then lives as one extra
+    (N, N) f32 value in scratch."""
+    if bias_elems is None:
+        bias_elems = nh * n * n
+    b = 2 * bias_elems * 4               # bias const block, double-buffered
+    b += bias_elems * 4                  # f32 dbias revisited accumulator
+    if bias_elems != nh * n * n:
+        b += n * n * 4                   # in-VMEM assembled per-head bias
     # qkv/dqkv/g/ms tile blocks, double-buffered, at compute dtype
     b += 2 * n * (3 * c + 3 * c + c + 2 * nh) * itemsize
     b += 3 * n * c * 4                   # per-head dq/dk/dv pieces pre-concat
@@ -305,13 +313,16 @@ def _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask):
     return int(b * 1.15)
 
 
-def packed_fits(n, c, nh, itemsize, with_mask,
+def packed_fits(n, c, nh, itemsize, with_mask, bias_elems=None,
                 budget=96 * 1024 * 1024) -> bool:
     """Whether the packed (all-heads-per-step) backward fits scoped
-    VMEM.  Swin-B stage 4 in f32 does not (117.67 MB measured); such
-    shapes route to the per-(head, window) kernel, whose per-step
-    residency is a single head's slices (< 10 MB there)."""
-    return _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask) <= budget
+    VMEM.  Swin-B stage 4 in f32 does not with the dense bias
+    (117.67 MB measured); such shapes route to the per-(head, window)
+    kernel, whose per-step residency is a single head's slices (< 10 MB
+    there).  The compact Toeplitz bias shrinks the two largest terms
+    ~4x, which brings stage-4 f32 back under budget."""
+    return _packed_bwd_vmem_bytes(n, c, nh, itemsize, with_mask,
+                                  bias_elems) <= budget
 
 
 def _head_slices(blk, h, nh, hd):
@@ -331,15 +342,52 @@ def _packed_logits(q, k, bias_h, mask_b, scale):
     return l
 
 
+def _bias_head(bias_ref, h, wd):
+    """Per-head dense (N, N) bias from the bias ref — either stored
+    dense (nh, N, N), or COMPACT Toeplitz (nh, A, hw, hw) slices
+    (ops/pallas_bias.py:compact_bias) assembled here in VMEM: the (hw,
+    hw) block of the bias at block-row d1 / block-col d2 is slice
+    d1-d2+wd-1.  Keeping the compact form on the wire removes the dense
+    (nh, N, N) HBM round trip per (block, pass) — ~0.5 GB/step on
+    Swin-B — and the standalone expansion/collapse kernels."""
+    if len(bias_ref.shape) == 3:          # dense (nh, N, N)
+        return bias_ref[h]
+    rows = []
+    for d1 in range(wd):
+        rows.append(jnp.concatenate(
+            [bias_ref[h, d1 - d2 + wd - 1] for d2 in range(wd)], axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _dbias_accum(dbias_ref, h, wd, dl):
+    """Accumulate the (N, N) bias cotangent ``dl`` into the dbias ref —
+    dense add, or the Toeplitz collapse (mirror of _bias_head) when the
+    ref is compact."""
+    if len(dbias_ref.shape) == 3:
+        dbias_ref[h] += dl
+        return
+    hw = dbias_ref.shape[-1]
+    for a in range(2 * wd - 1):
+        acc = None
+        for d1 in range(wd):
+            d2 = d1 - (a - wd + 1)
+            if not 0 <= d2 < wd:
+                continue
+            blk = dl[d1 * hw:(d1 + 1) * hw, d2 * hw:(d2 + 1) * hw]
+            acc = blk if acc is None else acc + blk
+        dbias_ref[h, a] += acc
+
+
 def _heads_fwd(blk, bias_ref, mask_ref, out_dtype, want_ms, *, scale, nh,
-               hd):
+               hd, wd=None):
     """All-heads attention on a packed (N, 3C) qkv block in VMEM.
     Returns (concat output (N, C) in out_dtype, concat row max/sum
     (N, 2nh) f32 or None)."""
     outs, ms = [], []
     for h in range(nh):
         q, k, v = _head_slices(blk, h, nh, hd)
-        l = _packed_logits(q, k, bias_ref[h], mask_ref, scale)
+        l = _packed_logits(q, k, _bias_head(bias_ref, h, wd), mask_ref,
+                           scale)
         m = jnp.max(l, axis=-1, keepdims=True)
         e = jnp.exp(l - m)
         s = jnp.sum(e, axis=-1, keepdims=True)
@@ -356,16 +404,16 @@ def _heads_fwd(blk, bias_ref, mask_ref, out_dtype, want_ms, *, scale, nh,
 
 
 def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
-                       *, scale, nh, hd):
+                       *, scale, nh, hd, wd=None):
     o, ms = _heads_fwd(qkv_ref[0], bias_ref, mask_ref, o_ref.dtype,
-                       ms_ref is not None, scale=scale, nh=nh, hd=hd)
+                       ms_ref is not None, scale=scale, nh=nh, hd=hd, wd=wd)
     o_ref[0] = o
     if ms_ref is not None:
         ms_ref[0] = ms
 
 
 def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
-               *, scale, nh, hd):
+               *, scale, nh, hd, wd=None):
     """Per-head backward on a packed (N, 3C) block; accumulates the bias
     cotangent in dbias_ref and returns dqkv (N, 3C) in ``out_dtype``."""
     dqs, dks, dvs = [], [], []
@@ -375,7 +423,8 @@ def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
         # softmax numerator from the forward-saved row max/sum: the
         # logits matmul is re-done (MXU), but both cross-lane (N, N)
         # reductions are skipped
-        l = _packed_logits(q, k, bias_ref[h], mask_ref, scale)
+        l = _packed_logits(q, k, _bias_head(bias_ref, h, wd), mask_ref,
+                           scale)
         e = jnp.exp(l - ms[:, 2 * h:2 * h + 1])
         s = ms[:, 2 * h + 1:2 * h + 2]
         # 1/s folded into the narrow consumers (see _bwd_kernel): no
@@ -389,7 +438,7 @@ def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
                                  preferred_element_type=jnp.float32)
         rs = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
         dl = e * (dp - rs) * inv
-        dbias_ref[h] += dl
+        _dbias_accum(dbias_ref, h, wd, dl)
         dlc = dl.astype(blk.dtype)
         dq = jax.lax.dot_general(dlc, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
@@ -402,7 +451,7 @@ def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
 
 
 def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
-                       dqkv_ref, dbias_ref, *, scale, nh, hd):
+                       dqkv_ref, dbias_ref, *, scale, nh, hd, wd=None):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -411,19 +460,27 @@ def _packed_bwd_kernel(qkv_ref, bias_ref, mask_ref, ms_ref, g_ref,
 
     dqkv_ref[0] = _heads_bwd(qkv_ref[0], bias_ref, mask_ref, ms_ref[0],
                              g_ref[0], dbias_ref, dqkv_ref.dtype,
-                             scale=scale, nh=nh, hd=hd)
+                             scale=scale, nh=nh, hd=hd, wd=wd)
 
 
-def _packed_specs(n, c3, nh, nw, with_mask):
+def _bias_spec(bias_shape):
+    """Full-tensor constant-index block spec for the bias — dense
+    (nh, N, N) or compact (nh, A, hw, hw)."""
+    if len(bias_shape) == 3:
+        return pl.BlockSpec(tuple(bias_shape), lambda b: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(tuple(bias_shape), lambda b: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _packed_specs(n, c3, bias_shape, nw, with_mask):
     # one window per grid step; batching several windows per step was
     # measured SLOWER (48.1 vs 46.9 ms/video with up to 32 unrolled
     # (window, head) problems per step — the larger revisited working
     # set defeats Mosaic's double-buffering)
     qkv = pl.BlockSpec((1, n, c3), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    bias = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    ins = [qkv, bias]
+    ins = [qkv, _bias_spec(bias_shape)]
     if with_mask:
         ins.append(pl.BlockSpec((1, n, n), lambda b: (b % nw, 0, 0),
                                 memory_space=pltpu.VMEM))
@@ -436,21 +493,22 @@ def _packed_attn_fwd(qkv, bias, mask, scale, nh, save_ms=False,
                      interpret=False):
     b_, n, c3 = qkv.shape
     hd = c3 // 3 // nh
+    wd = (bias.shape[1] + 1) // 2 if bias.ndim == 4 else None
     with_mask = mask is not None
     nw = mask.shape[0] if with_mask else 1
-    ins, qkv_spec = _packed_specs(n, c3, nh, nw, with_mask)
+    ins, qkv_spec = _packed_specs(n, c3, bias.shape, nw, with_mask)
     if with_mask:
         kern = functools.partial(_packed_fwd_kernel, scale=scale, nh=nh,
-                                 hd=hd)
+                                 hd=hd, wd=wd)
     elif save_ms:
         kern = functools.partial(
             lambda qr, br, o, msr, **kw:
             _packed_fwd_kernel(qr, br, None, o, msr, **kw),
-            scale=scale, nh=nh, hd=hd)
+            scale=scale, nh=nh, hd=hd, wd=wd)
     else:
         kern = functools.partial(
             lambda qr, br, o, **kw: _packed_fwd_kernel(qr, br, None, o, **kw),
-            scale=scale, nh=nh, hd=hd)
+            scale=scale, nh=nh, hd=hd, wd=wd)
     args = (qkv, bias) + ((mask,) if with_mask else ())
     out_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -476,33 +534,32 @@ def _packed_attn_fwd(qkv, bias, mask, scale, nh, save_ms=False,
 def _packed_attn_bwd(qkv, bias, mask, ms, g, scale, nh, interpret=False):
     b_, n, c3 = qkv.shape
     hd = c3 // 3 // nh
+    wd = (bias.shape[1] + 1) // 2 if bias.ndim == 4 else None
     with_mask = mask is not None
     nw = mask.shape[0] if with_mask else 1
-    ins, qkv_spec = _packed_specs(n, c3, nh, nw, with_mask)
+    ins, qkv_spec = _packed_specs(n, c3, bias.shape, nw, with_mask)
     g_spec = pl.BlockSpec((1, n, c3 // 3), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     ms_spec = pl.BlockSpec((1, n, 2 * nh), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((nh, n, n), lambda b: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
     ins = ins + [ms_spec, g_spec]
     if with_mask:
         kern = functools.partial(_packed_bwd_kernel, scale=scale, nh=nh,
-                                 hd=hd)
+                                 hd=hd, wd=wd)
     else:
         kern = functools.partial(
             lambda qr, br, msr, gr, dq, db, **kw:
             _packed_bwd_kernel(qr, br, None, msr, gr, dq, db, **kw),
-            scale=scale, nh=nh, hd=hd)
+            scale=scale, nh=nh, hd=hd, wd=wd)
     args = (qkv, bias) + ((mask,) if with_mask else ()) + (ms, g)
     return pl.pallas_call(
         kern,
         grid=(b_,),
         in_specs=ins,
-        out_specs=[qkv_spec, bias_spec],
+        out_specs=[qkv_spec, _bias_spec(bias.shape)],
         out_shape=[
             jax.ShapeDtypeStruct((b_, n, c3), qkv.dtype),
-            jax.ShapeDtypeStruct((nh, n, n), jnp.float32),
+            jax.ShapeDtypeStruct(tuple(bias.shape), jnp.float32),
         ],
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
@@ -537,29 +594,44 @@ def fused_window_attention_packed(qkv, bias, mask, scale, nh, *,
     """Fused window attention on PACKED qkv.
 
     qkv: (B_, N, 3C) with lanes ordered (3, nh, hd) — the raw qkv
-    projection output; bias (nh, N, N) f32; mask (nW, N, N) f32 or
-    None.  Returns (B_, N, C) — the natural input layout of the output
-    projection.  Auto mode uses the Pallas kernel on TPU; elsewhere the
-    jnp einsum path on the unpacked tensors (identical math).
+    projection output; bias is either the dense (nh, N, N) f32 bias or
+    its COMPACT Toeplitz form (nh, A, hw, hw)
+    (ops/pallas_bias.py:compact_bias) — the Pallas kernels consume the
+    compact form natively (per-head assembly in VMEM; dense never
+    touches HBM); mask (nW, N, N) f32 or None.  Returns (B_, N, C) —
+    the natural input layout of the output projection.  Auto mode uses
+    the Pallas kernel on TPU; elsewhere the jnp einsum path on the
+    unpacked tensors (identical math).
     """
     b_, n, c3 = qkv.shape
     c = c3 // 3
     hd = c // nh
+    compact = bias.ndim == 4
     if use_pallas is None:
         from vitta_tpu.ops.dispatch import pallas_enabled
         use_pallas = pallas_enabled()
     if not (use_pallas or interpret):
+        if compact:
+            from vitta_tpu.ops.pallas_bias import assemble_dense
+            bias = assemble_dense(bias, (bias.shape[1] + 1) // 2,
+                                  use_pallas=False)
         q5 = qkv.reshape(b_, n, 3, nh, hd)
         out = attention_reference(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
                                   bias, mask, scale)
         return out.reshape(b_, n, c)
+    bias_elems = bias.size if compact else None
     if use_pallas and not interpret and not packed_fits(
-            n, c, nh, qkv.dtype.itemsize, mask is not None):
-        # scoped-VMEM overflow route (Swin-B stage 4 in f32, measured
-        # 117.67M vs the 100M limit): the per-(head, window) kernel
+            n, c, nh, qkv.dtype.itemsize, mask is not None, bias_elems):
+        # scoped-VMEM overflow route: the per-(head, window) kernel
         # keeps only one head's slices resident per grid step — it pays
         # the unpack transpose chain, but only on shapes the packed
-        # kernel cannot compile at all
+        # kernel cannot compile at all.  (With the compact bias this
+        # route is no longer taken for any Swin-B shape: stage-4 f32,
+        # the one dense-bias overflow, fits compactly.)
+        if compact:
+            from vitta_tpu.ops.pallas_bias import assemble_dense
+            bias = assemble_dense(bias, (bias.shape[1] + 1) // 2,
+                                  use_pallas=True)
         q5 = qkv.reshape(b_, n, 3, nh, hd)
         out = fused_window_attention(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
                                      bias, mask, scale, use_pallas=True)
@@ -1050,6 +1122,10 @@ def fused_window_attention_ln_proj(x, gamma, beta, eps, w, b, wp, bp, bias,
         out = fused_window_attention_packed(qkv, bias, mask, scale, nh,
                                             use_pallas=True)
         return jnp.dot(out, wpc) + bpc, y
+    if bias.ndim == 4:
+        from vitta_tpu.ops.pallas_bias import assemble_dense
+        bias = assemble_dense(bias, (bias.shape[1] + 1) // 2,
+                              use_pallas=use_pallas, interpret=interpret)
     return _proj_ln_attn(xc, gamma.reshape(1, -1), beta.reshape(1, -1),
                          wc, bc.reshape(1, -1), wpc, bpc.reshape(1, -1),
                          bias,
@@ -1095,6 +1171,12 @@ def fused_window_attention_proj(x, w, b, wp, bp, bias, mask, scale, nh,
                                             use_pallas=True,
                                             interpret=interpret)
         return jnp.dot(out, wpc) + bpc
+    if bias.ndim == 4:
+        # the proj-fused kernel family stays dense-bias (default-off
+        # routes); expand on-chip
+        from vitta_tpu.ops.pallas_bias import assemble_dense
+        bias = assemble_dense(bias, (bias.shape[1] + 1) // 2,
+                              use_pallas=use_pallas, interpret=interpret)
     return _proj_attn(xc, wc, bc.reshape(1, -1), wpc, bpc.reshape(1, -1),
                       bias,
                       None if mask is None else mask.astype(jnp.bfloat16),

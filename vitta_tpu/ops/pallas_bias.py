@@ -117,9 +117,13 @@ def _assemble_bwd(wd, interpret, v_shape, db):
 _assemble.defvjp(_assemble_fwd, _assemble_bwd)
 
 
-def expand_bias_pallas(t4, window_size, *, interpret: bool = False):
-    """(2wd-1, 2wh-1, 2ww-1, nh) table -> (nh, N, N) f32 bias,
-    N = wd*wh*ww, assembled on-chip in the final tiled layout."""
+def compact_bias(t4, window_size):
+    """(2wd-1, 2wh-1, 2ww-1, nh) table -> (nh, A, hw, hw) Toeplitz
+    slices V (A = 2wd-1, hw = wh*ww; the module docstring's V) — the
+    compact form of the relative-position bias, from which the dense
+    (nh, N, N) is pure block-Toeplitz data movement.  Backend-agnostic
+    (one flat matmul + transposes); exact in f32 at any backend because
+    the one-hot contraction is a selection."""
     wd, wh, ww = window_size
     nh = t4.shape[-1]
     a_dim = 2 * wd - 1
@@ -138,5 +142,25 @@ def expand_bias_pallas(t4, window_size, *, interpret: bool = False):
                         (1, 0, 2)).reshape(-1, a_dim * nh)       # (BC, A·nh)
     flat = jax.lax.dot(oh2, tf2,
                        precision=jax.lax.Precision.HIGHEST)      # (hw², A·nh)
-    v = jnp.transpose(flat.reshape(hw, hw, a_dim, nh), (3, 2, 0, 1))
-    return _assemble(v, wd, interpret)
+    return jnp.transpose(flat.reshape(hw, hw, a_dim, nh), (3, 2, 0, 1))
+
+
+def assemble_dense(v, wd, use_pallas: bool = None, interpret: bool = False):
+    """(nh, A, hw, hw) Toeplitz slices -> dense (nh, N, N) bias.  Pallas
+    on TPU (aligned full-block stores, custom VJP); jnp block concat
+    elsewhere (identical values; its autodiff VJP is slicing)."""
+    if use_pallas is None:
+        from vitta_tpu.ops.dispatch import pallas_enabled
+        use_pallas = pallas_enabled()
+    if use_pallas or interpret:
+        return _assemble(v, wd, interpret)
+    rows = [jnp.concatenate([v[:, d1 - d2 + wd - 1] for d2 in range(wd)],
+                            axis=2) for d1 in range(wd)]
+    return jnp.concatenate(rows, axis=1)
+
+
+def expand_bias_pallas(t4, window_size, *, interpret: bool = False):
+    """(2wd-1, 2wh-1, 2ww-1, nh) table -> (nh, N, N) f32 bias,
+    N = wd*wh*ww, assembled on-chip in the final tiled layout."""
+    return _assemble(compact_bias(t4, window_size), window_size[0],
+                     interpret)
