@@ -214,6 +214,26 @@ def test_compact_bias_from_table_matches_expansion():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_prefer_compact_bias_router():
+    """Auto-compact engages exactly for the dense-overflow shape class:
+    Swin-B stage-4 f32 (n=392, c=1024, nh=32) — and nowhere the dense
+    packed kernel already fits."""
+    from vitta_tpu.ops.pallas_attention import (packed_fits,
+                                                prefer_compact_bias)
+    win = (8, 7, 7)
+    n = 392
+    # stage-4 f32: dense overflows (117.67 MB measured on-chip), compact
+    # must fit and be preferred
+    assert not packed_fits(n, 1024, 32, 4, True)
+    assert prefer_compact_bias(n, 1024, 32, 4, True, win)
+    # stage-4 bf16 and stage-3 f32: dense fits -> dense stays
+    assert packed_fits(n, 1024, 32, 2, True)
+    assert not prefer_compact_bias(n, 1024, 32, 2, True, win)
+    assert not prefer_compact_bias(n, 512, 16, 4, True, win)
+    # clamped window never routes compact
+    assert not prefer_compact_bias(24, 1024, 32, 4, True, win)
+
+
 def test_window_attention_compact_flag_equivalence(monkeypatch):
     """WindowAttention3D under VITTA_COMPACT_BIAS=1 (interpret kernels)
     matches the default jnp path — outputs and parameter gradients."""

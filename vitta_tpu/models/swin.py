@@ -205,11 +205,20 @@ class WindowAttention3D(nn.Module):
         wproj, bproj = _DenseParams(c, name="proj")(c)
         full_n = wd * wh * ww
         if n == full_n:
-            from vitta_tpu.ops.dispatch import compact_bias_enabled
-            if compact_bias_enabled():
-                # compact Toeplitz form (nh, A, hw, hw): the packed
-                # attention kernels assemble the per-head dense bias in
-                # VMEM — the (nh, N, N) tensor never touches HBM
+            from vitta_tpu.ops.dispatch import (compact_bias_enabled,
+                                                pallas_enabled)
+            from vitta_tpu.ops.pallas_attention import prefer_compact_bias
+            itemsize = jnp.dtype(self.dtype).itemsize
+            # compact Toeplitz form (nh, A, hw, hw): the packed attention
+            # kernels assemble the per-head dense bias in VMEM.  Measured
+            # a flat regression where the dense packed kernel fits (the
+            # per-window re-assembly, flag_sweep_r5.jsonl), so it engages
+            # automatically ONLY where dense would overflow scoped VMEM
+            # and fall back to the per-(head, window) kernel (Swin-B
+            # stage-4 f32); VITTA_COMPACT_BIAS=1 forces it everywhere.
+            auto = pallas_enabled() and prefer_compact_bias(
+                n, c, nh, itemsize, mask is not None, (wd, wh, ww))
+            if compact_bias_enabled() or auto:
                 from vitta_tpu.ops.pallas_bias import compact_bias
                 bias_hqk = compact_bias(table, (wd, wh, ww))
             else:

@@ -70,16 +70,17 @@ def patchify_v2_enabled() -> bool:
 
 
 def compact_bias_enabled() -> bool:
-    """Carry the relative-position bias in its compact Toeplitz form
-    (nh, A, hw, hw) all the way into the packed attention kernels, which
-    assemble the per-head dense (N, N) bias in VMEM
-    (ops/pallas_bias.py:compact_bias, pallas_attention.py:_bias_head).
-    Removes the standalone expansion/collapse kernels and the dense
-    (nh, N, N) HBM round trip per (block, pass) — ~3 ms/step of bias
-    machinery in the round-5 Swin-B bf16 trace — and shrinks the packed
-    backward's VMEM stack ~4x on its two largest terms, which brings
-    Swin-B stage-4 f32 back onto the packed kernel.  Default OFF
-    pending the TPU measurement."""
+    """FORCE the relative-position bias into its compact Toeplitz form
+    (nh, A, hw, hw) for every attention call (ops/pallas_bias.py:
+    compact_bias, pallas_attention.py:_bias_head).  REJECTED as a global
+    default on measurement: 56.38 vs 45.88 ms/video Swin-B bf16
+    (flag_sweep_r5.jsonl) — the in-kernel per-head assembly re-runs per
+    WINDOW grid step, ~8-16x more often than the standalone expansion
+    kernel it replaces.  It still engages AUTOMATICALLY (no flag) for
+    the one shape class where it wins: dense-bias VMEM overflow of the
+    packed backward (Swin-B stage-4 f32, 2 windows), where the
+    alternative is the far slower per-(head, window) fallback —
+    pallas_attention.py:prefer_compact_bias."""
     return flag_enabled("VITTA_COMPACT_BIAS", False)
 
 

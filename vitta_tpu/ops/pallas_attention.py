@@ -325,6 +325,28 @@ def packed_fits(n, c, nh, itemsize, with_mask, bias_elems=None,
                                   bias_elems) <= budget
 
 
+def prefer_compact_bias(n, c, nh, itemsize, with_mask,
+                        window: "tuple") -> bool:
+    """Whether the attention call should carry the COMPACT Toeplitz bias.
+
+    The compact form pays a per-(window, head) in-VMEM Toeplitz assembly
+    inside the kernels, which the round-5 sweep measured as a flat
+    REGRESSION where the dense-bias packed kernel fits (Swin-B bf16
+    45.9 -> 56.4 ms/video: the standalone expansion kernel assembled
+    once per block-pass; the in-kernel form re-assembles per window).
+    It wins only where the dense bias's VMEM footprint would otherwise
+    overflow the packed backward and force the far slower
+    per-(head, window) fallback — Swin-B stage 4 in f32 (2 windows, so
+    the assembly overhead is also at its smallest there).  This router
+    returns True exactly for that case: dense overflows, compact fits."""
+    wd, wh, ww = window
+    if n != wd * wh * ww:
+        return False                      # clamped window: jnp path
+    compact_elems = nh * (2 * wd - 1) * (wh * ww) ** 2
+    return (not packed_fits(n, c, nh, itemsize, with_mask)
+            and packed_fits(n, c, nh, itemsize, with_mask, compact_elems))
+
+
 def _head_slices(blk, h, nh, hd):
     c = nh * hd
     q = blk[:, h * hd:(h + 1) * hd]
