@@ -9,16 +9,22 @@ under-reports flops — and it doubles as an operational escape hatch.
 
 The perf-variant flags below are all *math-identical* layout/fusion
 alternatives (each equivalence-tested).  Their defaults reflect the
-round-4 TPU flag sweep (benchmarks/results/flag_sweep_r4{,b}.jsonl,
-Swin-B bf16 at the reference operating point, ms/video):
+round-4/5 TPU flag sweeps (benchmarks/results/flag_sweep_r4{,b}.jsonl,
+flag_sweep_r5.jsonl, Swin-B at the reference operating point,
+ms/video):
 
-  base 48.92 | +window_resident 46.94 | +attn_no_proj 47.61
+  r4 bf16: base 48.92 | +window_resident 46.94 | +attn_no_proj 47.61
   +attn_ln 47.71 | +patchify(uint8) 50.09 vs 49.01 | +bf16_momentum 51.38
   combos: wr+no_proj 45.80 (BEST) | wr+attn_ln 46.21
+  r5 bf16: base 45.88 | +patchify_v2 43.56 (BEST; 43.48 on uint8 wire)
+  | +compact_bias 56.38
+  r5 fp32: base 53.19 | +patchify_v2 50.96 (BEST)
 
-so window-resident stages and the *packed* attention kernel (qkv/proj
-matmuls left to XLA) are default-ON, and the proj-fused kernel,
-LN-prologue fusion, uint8 patchify and bf16 momentum are default-OFF.
+so window-resident stages, the *packed* attention kernel (qkv/proj
+matmuls left to XLA) and the matmul patch embed (patchify_v2) are
+default-ON — at both dtypes — and the proj-fused kernel, LN-prologue
+fusion, uint8 patchify, forced compact bias and bf16 momentum are
+default-OFF.
 Every gate is tri-state: unset -> measured default, "0"/"false"/"off"
 -> off, anything else -> on.
 """
@@ -64,9 +70,11 @@ def patchify_v2_enabled() -> bool:
     unfold->conv rewrite on ANY input dtype, so the strided Conv3d and
     its pathological input relayout (C=3 forced minor into a 128-lane
     tile: 1.3 ms/step of copies + ~2.9 ms of conv kernels in the
-    round-5 trace) never materialize.  Default OFF pending the TPU
-    measurement."""
-    return flag_enabled("VITTA_PATCHIFY_V2", False)
+    round-5 trace) never materialize.  Default ON: won every round-5
+    A/B (flag_sweep_r5.jsonl, ms/video) — bf16 43.56 vs 45.88, bf16 on
+    the uint8 wire 43.48, fp32 50.96 vs 53.19.  ``VITTA_PATCHIFY_V2=0``
+    restores the Conv3d patch embed."""
+    return flag_enabled("VITTA_PATCHIFY_V2", True)
 
 
 def compact_bias_enabled() -> bool:
