@@ -46,6 +46,24 @@ def _is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def _align_processes(tag: str) -> None:
+    """Host barrier before any orbax operation under multi-process.
+
+    orbax's internal cross-host sync is a device collective; on the CPU
+    backend its first execution rendezvous-initializes a gloo context
+    through the coordination KV store with a hard ~30 s timeout.  Entry
+    skew into save()/restore() can exceed that window (per-process
+    compile-cache hits vs misses before the first restore were observed
+    >30 s apart under host load), so align on the coordination-service
+    barrier (600 s) first — the same protocol as the stream layer's
+    first-gather barrier (parallel/streams.py:gather_metrics)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from vitta_tpu.parallel.mesh import coordination_barrier
+        coordination_barrier(tag)
+
+
 class StreamCheckpointer:
     def __init__(self, directory: str, every: int = 50,
                  manifest: Optional[dict] = None):
@@ -93,6 +111,7 @@ class StreamCheckpointer:
 
         path = os.path.join(self.directory, f"step_{next_bi}")
         # orbax coordinates the multi-host array save internally
+        _align_processes("stream_ckpt_save")
         ocp.PyTreeCheckpointer().save(path, state, force=True)
         if not _is_primary():
             return
@@ -126,7 +145,10 @@ class StreamCheckpointer:
             # directory between listing and open — either way: fresh start
             return None
         # item= restores straight into the template's pytree structure
-        # (TTAState NamedTuple incl. None subtrees)
+        # (TTAState NamedTuple incl. None subtrees).  All processes reach
+        # this point or none do (latest.json is on the shared filesystem),
+        # so the barrier call pattern stays lockstep.
+        _align_processes("stream_ckpt_restore")
         state = ocp.PyTreeCheckpointer().restore(meta["path"], item=template)
         meters = {k: (s if isinstance(s, list) else float(s), int(c))
                   for k, (s, c) in meta["meters"].items()}

@@ -169,11 +169,18 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
                                            checkpointer=ckpt)
         for corruption, acc in zip(pending[g0:g0 + group_cap], got):
             results[corruption] = [float(acc)]
-        _save_sweep_state(cfg.runtime.result_dir, results)
-    writer = ResultWriter(cfg.runtime.result_dir, cfg)
-    for corruption in corruptions:
-        writer.write_row(results[corruption])
-    writer.close()
+        # host-side filesystem mutations are primary-only under
+        # multi-process (same protocol as stream_ckpt.py): every process
+        # computes identical results (the metric gather replicates), so
+        # only one needs to persist them — and concurrent writers could
+        # interleave in the result file
+        if jax.process_index() == 0:
+            _save_sweep_state(cfg.runtime.result_dir, results)
+    if jax.process_index() == 0:
+        writer = ResultWriter(cfg.runtime.result_dir, cfg)
+        for corruption in corruptions:
+            writer.write_row(results[corruption])
+        writer.close()
     accs = [results[c][0] for c in corruptions]
     results["mean"] = [sum(accs) / len(accs)]
     return results
