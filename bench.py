@@ -218,7 +218,7 @@ def run_config(model_name: str, dtype: str) -> dict:
             views, clip, label = next(it)
             state, m = engine.adapt_eval_step(state, views, clip, label,
                                               jax.random.fold_in(rng, i))
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
         start = time.perf_counter()
         n_done = 0
         for views, clip, label in it:
@@ -226,7 +226,7 @@ def run_config(model_name: str, dtype: str) -> dict:
                 state, views, clip, label,
                 jax.random.fold_in(rng, 100 + n_done))
             n_done += 1
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
         elapsed = time.perf_counter() - start
         ms_per_video = 1000.0 * elapsed / n_done
     else:
@@ -255,7 +255,7 @@ def run_config(model_name: str, dtype: str) -> dict:
             state, m = engine.adapt_eval_step(
                 state, views_pool[i % n_distinct], clips_pool[i % n_distinct],
                 labels, jax.random.fold_in(rng, i))
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
 
         ctx = None
         if BENCH_PROFILE:
@@ -266,7 +266,7 @@ def run_config(model_name: str, dtype: str) -> dict:
             state, m = engine.adapt_eval_step(
                 state, views_pool[i % n_distinct], clips_pool[i % n_distinct],
                 labels, jax.random.fold_in(rng, 100 + i))
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
         elapsed = time.perf_counter() - start
         if ctx is not None:
             ctx.__exit__(None, None, None)

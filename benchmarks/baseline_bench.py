@@ -15,6 +15,16 @@ device step the chip repeats over the stream.
 Inputs are pre-staged device-resident f32 pools (the honest device
 metric on a tunneled backend; see bench.py).
 
+Every timed loop is SERIAL-CHAINED: a scalar computed from each step's
+output is folded into the next step's input, so consecutive dispatches
+carry a true data dependency.  Free-running identical dispatches of a
+stateless forward measured 0.78 ms/batch here — 3.4x the chip's bf16
+FLOP peak, physically impossible on one device: the tunnel's backing
+pool overlaps independent executions.  bench.py is immune (its step
+chains the carried TTAState); this harness has to build the chain by
+hand.  The fold perturbs one (small) input leaf by ``0 * token`` —
+negligible cost, and far smaller than the inflation it removes.
+
 Usage: PYTHONPATH=$PYTHONPATH:. python benchmarks/baseline_bench.py [out.jsonl]
   env: BENCH_DTYPE=float32|bfloat16 (default float32 — the parity config)
 """
@@ -38,15 +48,49 @@ T, HW, K = 16, 224, 101
 
 
 def _time(fn, *args):
+    """Serial-chained timing of ``fn(*args)`` whose output is a pytree.
+
+    Wraps ``fn`` in a jitted step that (a) perturbs the first array
+    argument by ``0 * token`` where ``token`` is a scalar reduced from
+    the previous output, and (b) returns the new token with the output —
+    so step N+1's input buffer depends on step N's result and no two
+    steps can overlap, on this device or across a pool."""
     import jax
+    import jax.numpy as jnp
+
+    def _first_inexact(flat):
+        for i, leaf in enumerate(flat):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.inexact):
+                return i
+        raise ValueError("no inexact leaf to chain through")
+
+    def step(tok, *a):
+        flat, treedef = jax.tree_util.tree_flatten(a)
+        i = _first_inexact(flat)
+        flat[i] = flat[i] + (0.0 * tok).astype(flat[i].dtype)
+        out = fn(*jax.tree_util.tree_unflatten(treedef, flat))
+        # one output leaf is enough: executions complete atomically, so
+        # any output buffer gates the next dispatch
+        oflat = jax.tree_util.tree_leaves(out)
+        token = jnp.mean(oflat[_first_inexact(oflat)].astype(jnp.float32))
+        return token, out
+
+    step = jax.jit(step)
+    tok = jnp.float32(0.0)
     out = None
     for _ in range(N_WARMUP):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        tok, out = step(tok, *args)
+    # end with a VALUE fetch, not block_until_ready: on the tunneled
+    # backend block_until_ready on a small output returns before the
+    # chain has executed (probed: 0.94 ms/step "blocked" vs 33.9 with a
+    # fetch for the same chained forward); fetching the token's value
+    # cannot be satisfied without running the whole chain
+    float(tok)
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        tok, out = step(tok, *args)
+    float(tok)
     return 1000.0 * (time.perf_counter() - t0) / N_STEPS
 
 

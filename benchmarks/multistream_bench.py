@@ -62,11 +62,11 @@ def main():
         keys = jax.random.split(rng, s)
         for i in range(N_WARMUP):
             state, m = step(state, views, clips, labels, keys)
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
         t0 = time.perf_counter()
         for i in range(N_STEPS):
             state, m = step(state, views, clips, labels, keys)
-        jax.block_until_ready(m.loss_reg)
+        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
         ms = 1000.0 * (time.perf_counter() - t0) / N_STEPS
         results[s] = ms
         print(f"S={s}: {ms:.1f} ms/step  "
