@@ -43,7 +43,7 @@ def main():
     bench_mod.BENCH_DTYPE = BENCH_DTYPE
     build = bench_mod._build_swin if BENCH_MODEL == "swin" else \
         bench_mod._build_tanet
-    engine, cfg = build(16, 224, 101, 2)
+    engine, cfg = build(16, 224, 101, 2, BENCH_DTYPE)
     T, HW, K, V = 16, 224, 101, 2
 
     rng = jax.random.PRNGKey(0)

@@ -294,9 +294,16 @@ class VittaEngine:
         # costs hundreds of tiny zeros/cast dispatches outside jit, so the
         # reset template is built ONCE and re-passed each step through a
         # NON-donating jit (donation would invalidate the template's
-        # buffers on the first call).
+        # buffers on the first call).  The std step returns ONLY
+        # (step, metrics): the updated params/momentum/EMA are dead (the
+        # next video resets them), and materializing them as jit outputs
+        # of a non-donating call forced XLA to copy ~660 leaves into
+        # fresh output buffers — the round-5 TANet bf16 trace shows that
+        # swarm as ~1.5 ms/step of 30-70 us copy-dones.  Dropping the
+        # outputs lets XLA dead-code-eliminate the write-backs while the
+        # eval forward still consumes the updated values internally.
         self._std_template: Optional[TTAState] = None
-        self._adapt_eval_std = jax.jit(self._adapt_eval_impl)
+        self._adapt_eval_std = jax.jit(self._adapt_eval_std_impl)
         self._eval_only = jax.jit(self._eval_only_impl)
         self._adapt_only = jax.jit(self._adapt_only_impl)
 
@@ -525,6 +532,16 @@ class VittaEngine:
         b = logits.shape[0] // n_eval_views
         return jnp.mean(logits.reshape(b, n_eval_views, -1), axis=1)
 
+    def _adapt_eval_std_impl(self, state: TTAState, views, eval_clip, label,
+                             rng):
+        """tta_standard step: same math as ``_adapt_eval_impl`` but the
+        carried state stays inside the jit (see __init__ — only the step
+        counter leaves, which also keeps consecutive dispatches
+        data-dependent for honest serialized timing)."""
+        new_state, metrics = self._adapt_eval_impl(state, views, eval_clip,
+                                                   label, rng)
+        return new_state.step, metrics
+
     def _adapt_only_impl(self, state: TTAState, views, label, rng):
         """Adaptation without the per-sample eval — the epoch-style legacy
         loop ``test_time_adapt`` (basics.py:760-1084) adapts over the whole
@@ -561,7 +578,13 @@ class VittaEngine:
             if self._std_template is None:
                 self._std_template = self.init_state()
             state = self._std_template._replace(step=state.step)
-            return self._adapt_eval_std(state, views, eval_clip, label, rng)
+            new_step, metrics = self._adapt_eval_std(state, views, eval_clip,
+                                                     label, rng)
+            # the post-step state's semantic value IS the reset template
+            # (plus the advanced counter) — reconstruct it host-side so
+            # callers (stream loop, mid-stream checkpointing) still see a
+            # full TTAState
+            return self._std_template._replace(step=new_step), metrics
         return self._adapt_eval(state, views, eval_clip, label, rng)
 
     def eval_step(self, params, eval_clip, label):
