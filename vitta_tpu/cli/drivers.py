@@ -123,8 +123,14 @@ def run_parallel_sweep(cfg: VittaConfig, corruptions: Sequence[str],
     # streams are sharded over the mesh: run in groups of <=
     # n_dev * streams_per_chip.  With streams_per_chip > 1 each device
     # vmaps several streams (batched per-stream weights), so e.g. the
-    # 12-corruption sweep runs as one group of 12 on 6 chips at 2/chip
-    # instead of an 8+4 split — gate the setting on multistream_bench.
+    # 12-corruption sweep could run as one group of 12 on 6 chips at
+    # 2/chip instead of an 8+4 split.  MEASURED (round 5,
+    # benchmarks/results/multistream_r5.jsonl): packing 2 TANet bf16
+    # streams costs 38.2 ms/step vs 2x17.6 sequential — 0.92x
+    # throughput, far from the 1.33x-gate — XLA lowers the batched
+    # per-stream conv weights to grouped convs at ~full per-stream
+    # cost.  The default stays 1 stream/chip; the knob remains for
+    # chips>>streams deployments.
     # No padded duplicate streams: the per-group device count is the
     # largest that divides the group evenly.
     spc = max(1, cfg.runtime.streams_per_chip)
