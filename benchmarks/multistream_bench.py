@@ -49,6 +49,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     gen = np.random.default_rng(0)
     results = {}
+    infeasible = {}
     for s in STREAM_COUNTS:
         step = jax.jit(jax.vmap(engine._adapt_eval_impl))
         state0 = engine.init_state()
@@ -60,13 +61,24 @@ def main():
                             .astype(np.float32))
         labels = jnp.zeros((s, 1), jnp.int32)
         keys = jax.random.split(rng, s)
-        for i in range(N_WARMUP):
-            state, m = step(state, views, clips, labels, keys)
-        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
-        t0 = time.perf_counter()
-        for i in range(N_STEPS):
-            state, m = step(state, views, clips, labels, keys)
-        float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
+        try:
+            for i in range(N_WARMUP):
+                state, m = step(state, views, clips, labels, keys)
+            float(jnp.sum(m.loss_reg))  # VALUE fetch: scalar block_until_ready can return early through the tunnel (see baselines bench probe)
+            t0 = time.perf_counter()
+            for i in range(N_STEPS):
+                state, m = step(state, views, clips, labels, keys)
+            float(jnp.sum(m.loss_reg))  # VALUE fetch (ditto)
+        except Exception as e:  # compile-time VMEM overflow etc. — an
+            # infeasible packing is a bench RESULT, not a bench crash
+            # (observed: Swin-B bf16 S=2, the vmapped batched-weight
+            # LN-MLP backward exceeds VMEM 144.6M/128M — batching
+            # double-buffers weight windows beyond the unbatched tile
+            # model)
+            msg = str(e).split("\n")[0][:200]
+            infeasible[s] = msg
+            print(f"S={s}: INFEASIBLE — {msg}")
+            continue
         ms = 1000.0 * (time.perf_counter() - t0) / N_STEPS
         results[s] = ms
         print(f"S={s}: {ms:.1f} ms/step  "
@@ -78,6 +90,7 @@ def main():
     print(json.dumps({
         "model": BENCH_MODEL, "dtype": BENCH_DTYPE,
         "ms_per_step": {str(k): round(v, 2) for k, v in results.items()},
+        "infeasible": infeasible,
         "pack2_recommended": bool(gate),
     }))
 
