@@ -107,6 +107,28 @@ R5_CONFIGS = [
 ]
 
 
+# Round-5b pass: the software-pipelined attention head loop
+# (VITTA_ATTN_PIPE, ops/dispatch.py) — motivated by the slope-timed
+# backward ablation (results/attn_bwd_micro_r5.jsonl: sequential order
+# measured matmuls + the whole VPU chain additively; the reorder won
+# -29%/-27% on stages 0/1).  Controls re-run alongside so drift can't
+# fake a win.
+R5B_CONFIGS = [
+    ("swin_bf16_ctl_r5b", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_PIPE": "0"}),
+    ("swin_bf16_attn_pipe", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_PIPE": "1"}),
+    ("swin_fp32_ctl_r5b", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "float32",
+        "VITTA_ATTN_PIPE": "0"}),
+    ("swin_fp32_attn_pipe", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "float32",
+        "VITTA_ATTN_PIPE": "1"}),
+]
+
+
 def run_one(name: str, env_overrides: dict, out_path: str,
             timeout_s: int = 5400) -> dict:
     env = dict(os.environ)
@@ -146,6 +168,8 @@ def main():
         configs = COMBO_CONFIGS
     elif "--r5" in sys.argv:
         configs = R5_CONFIGS
+    elif "--r5b" in sys.argv:
+        configs = R5B_CONFIGS
     only = [a for a in sys.argv[2:] if not a.startswith("-")]
     if only:
         configs = [(n, e) for n, e in configs if n in only]

@@ -117,6 +117,20 @@ def attn_proj_fused_enabled() -> bool:
     return flag_enabled("VITTA_ATTN_PROJ_FUSED", False)
 
 
+def attn_pipe_enabled() -> bool:
+    """Software-pipeline the window-attention kernels' head loop: head
+    h+1's independent MXU matmuls (logits, and dp in the backward) are
+    issued between head h's VPU softmax/dl chain ops so the two units
+    overlap (pallas_attention.py:_heads_fwd/_heads_bwd).  Identical
+    math — the same ops in a different program order.  Motivated by the
+    slope-timed ablation (benchmarks/results/attn_bwd_micro_r5.jsonl):
+    the backward measured full ~= matmuls + the WHOLE VPU chain
+    (additive, zero overlap), and the reorder won -29%/-27% on
+    stages 0/1.  Default OFF pending the end-to-end flag sweep;
+    ``VITTA_ATTN_PIPE=1`` enables."""
+    return flag_enabled("VITTA_ATTN_PIPE", False)
+
+
 def window_resident_enabled() -> bool:
     """Swin blocks keep activations in window layout across a stage
     (models/swin.py:BasicLayer): the window_reverse/roll/roll/partition

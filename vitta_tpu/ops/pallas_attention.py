@@ -404,14 +404,34 @@ def _heads_fwd(blk, bias_ref, mask_ref, out_dtype, want_ms, *, scale, nh,
                hd, wd=None):
     """All-heads attention on a packed (N, 3C) qkv block in VMEM.
     Returns (concat output (N, C) in out_dtype, concat row max/sum
-    (N, 2nh) f32 or None)."""
-    outs, ms = [], []
-    for h in range(nh):
+    (N, 2nh) f32 or None).
+
+    Under ``VITTA_ATTN_PIPE`` the head loop is software-pipelined: head
+    h+1's logits matmul (MXU) is issued in the middle of head h's VPU
+    max/exp/sum chain, so the two units overlap instead of alternating
+    idle — identical math, different program order (the slope-timed
+    ablation in benchmarks/results/attn_bwd_micro_r5.jsonl measured the
+    sequential order as matmuls + the WHOLE VPU chain, additive)."""
+    from vitta_tpu.ops.dispatch import attn_pipe_enabled
+    pipe = attn_pipe_enabled()
+
+    def _logits_h(h):
         q, k, v = _head_slices(blk, h, nh, hd)
-        l = _packed_logits(q, k, _bias_head(bias_ref, h, wd), mask_ref,
-                           scale)
+        return v, _packed_logits(q, k, _bias_head(bias_ref, h, wd),
+                                 mask_ref, scale)
+
+    outs, ms = [], []
+    cur = _logits_h(0) if pipe else None
+    for h in range(nh):
+        if pipe:
+            v, l = cur
+        else:
+            v, l = _logits_h(h)
         m = jnp.max(l, axis=-1, keepdims=True)
         e = jnp.exp(l - m)
+        if pipe and h + 1 < nh:
+            # next head's independent MXU work, issued mid-VPU-chain
+            cur = _logits_h(h + 1)
         s = jnp.sum(e, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(e.astype(blk.dtype), v,
                                  (((1,), (0,)), ((), ())),
@@ -437,9 +457,20 @@ def _packed_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, ms_ref=None,
 def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
                *, scale, nh, hd, wd=None):
     """Per-head backward on a packed (N, 3C) block; accumulates the bias
-    cotangent in dbias_ref and returns dqkv (N, 3C) in ``out_dtype``."""
-    dqs, dks, dvs = [], [], []
-    for h in range(nh):
+    cotangent in dbias_ref and returns dqkv (N, 3C) in ``out_dtype``.
+
+    Under ``VITTA_ATTN_PIPE`` the loop is software-pipelined (see
+    _heads_fwd): head h+1's two independent matmuls — the logits
+    recompute and dp = g v^T — are issued between head h's VPU
+    softmax/dl chain ops.  Identical math, reordered program only."""
+    from vitta_tpu.ops.dispatch import attn_pipe_enabled
+    pipe = attn_pipe_enabled()
+
+    def _dp(gh, v):
+        return jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def _mm_h(h):
         q, k, v = _head_slices(blk, h, nh, hd)
         gh = g[:, h * hd:(h + 1) * hd]
         # softmax numerator from the forward-saved row max/sum: the
@@ -447,7 +478,18 @@ def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
         # reductions are skipped
         l = _packed_logits(q, k, _bias_head(bias_ref, h, wd), mask_ref,
                            scale)
+        # dp issued here (with the other independent MXU work) only in
+        # pipe mode; the sequential path keeps its original position
+        return q, k, v, gh, l, _dp(gh, v) if pipe else None
+
+    dqs, dks, dvs = [], [], []
+    cur = _mm_h(0) if pipe else None
+    for h in range(nh):
+        q, k, v, gh, l, dp = cur if pipe else _mm_h(h)
         e = jnp.exp(l - ms[:, 2 * h:2 * h + 1])
+        if pipe and h + 1 < nh:
+            # next head's independent MXU work, issued mid-VPU-chain
+            cur = _mm_h(h + 1)
         s = ms[:, 2 * h + 1:2 * h + 2]
         # 1/s folded into the narrow consumers (see _bwd_kernel): no
         # (N, N) f32 divide, one broadcast multiply chain instead
@@ -456,8 +498,8 @@ def _heads_bwd(blk, bias_ref, mask_ref, ms, g, dbias_ref, out_dtype,
         dv = jax.lax.dot_general(e.astype(blk.dtype), gs,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if dp is None:
+            dp = _dp(gh, v)
         rs = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
         dl = e * (dp - rs) * inv
         _dbias_accum(dbias_ref, h, wd, dl)
