@@ -129,6 +129,22 @@ R5B_CONFIGS = [
 ]
 
 
+# Round-5c pass: the software-pipelined LN-MLP kernels (VITTA_MLP_PIPE
+# — same additive-VPU motivation as r5b), alone and composed with the
+# attention pipe, at both dtypes.
+R5C_CONFIGS = [
+    ("swin_bf16_mlp_pipe", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_PIPE": "0", "VITTA_MLP_PIPE": "1"}),
+    ("swin_bf16_both_pipe", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "bfloat16",
+        "VITTA_ATTN_PIPE": "1", "VITTA_MLP_PIPE": "1"}),
+    ("swin_fp32_both_pipe", {
+        "BENCH_MODEL": "swin", "BENCH_DTYPE": "float32",
+        "VITTA_ATTN_PIPE": "1", "VITTA_MLP_PIPE": "1"}),
+]
+
+
 def run_one(name: str, env_overrides: dict, out_path: str,
             timeout_s: int = 5400) -> dict:
     env = dict(os.environ)
@@ -170,6 +186,8 @@ def main():
         configs = R5_CONFIGS
     elif "--r5b" in sys.argv:
         configs = R5B_CONFIGS
+    elif "--r5c" in sys.argv:
+        configs = R5C_CONFIGS
     only = [a for a in sys.argv[2:] if not a.startswith("-")]
     if only:
         configs = [(n, e) for n, e in configs if n in only]

@@ -213,3 +213,42 @@ def test_swin_block_fused_ln_matches_unfused_model():
         np.testing.assert_allclose(
             np.asarray(fus_leaves[k]), np.asarray(ref_leaves[k]),
             rtol=2e-5, atol=2e-5, err_msg=str(k))
+
+
+def test_lnmlp_pipe_bitexact_vs_sequential(monkeypatch):
+    """VITTA_MLP_PIPE reorders/splits per-row work only; values and
+    gradients must match the sequential kernels to ulp-level tolerance
+    (backends may re-block the split-M matmuls, reassociating the K
+    accumulation — observed max rel diff ~1e-7 on CPU).  jit caches are
+    cleared between flag states — the env gate is read at trace
+    time."""
+    from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, _pipe_half
+
+    args = _ln_params(jax.random.PRNGKey(7), 32, 128)
+
+    def loss(a):
+        o, y = fused_ln_mlp(*a, 1e-5, use_pallas=False, interpret=True)
+        return (jnp.sum(o * jnp.cos(o))
+                + jnp.sum(jnp.square(jnp.mean(
+                    y, axis=tuple(range(y.ndim - 1))))))
+
+    def run():
+        jax.clear_caches()
+        o, y = fused_ln_mlp(*args, 1e-5, use_pallas=False, interpret=True)
+        g = jax.grad(loss)(args)
+        return o, y, g
+
+    monkeypatch.setenv("VITTA_MLP_PIPE", "0")
+    o0, y0, g0 = run()
+    monkeypatch.setenv("VITTA_MLP_PIPE", "1")
+    assert _pipe_half(128) == 64   # the pipe path really engages
+    o1, y1, g1 = run()
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+    for a0, a1, name in zip(g0, g1, "x g bt w1 b1 w2 b2".split()):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)

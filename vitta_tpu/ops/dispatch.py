@@ -131,6 +131,21 @@ def attn_pipe_enabled() -> bool:
     return flag_enabled("VITTA_ATTN_PIPE", False)
 
 
+def mlp_pipe_enabled() -> bool:
+    """Software-pipeline the fused LN-MLP kernels: each row tile is
+    processed as two half-tiles with interleaved phases (half B's fc1
+    matmul issues while half A's GELU chain runs on the VPU, etc. —
+    pallas_mlp.py:_lnmlp_{fwd,bwd}_kernel_pipe).  Every per-row op is
+    split row-wise and the weight/bias-gradient reductions still run
+    over the reconstituted full tile; results match the sequential
+    kernels to ulp level (tested).  Same motivation as
+    VITTA_ATTN_PIPE: the slope-timed attention ablation measured MXU
+    and VPU costs as strictly additive inside one Pallas kernel.
+    Default OFF pending the end-to-end flag sweep; ``VITTA_MLP_PIPE=1``
+    enables."""
+    return flag_enabled("VITTA_MLP_PIPE", False)
+
+
 def window_resident_enabled() -> bool:
     """Swin blocks keep activations in window layout across a stage
     (models/swin.py:BasicLayer): the window_reverse/roll/roll/partition

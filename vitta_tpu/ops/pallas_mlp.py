@@ -369,6 +369,153 @@ def _lnmlp_bwd_kernel(x_ref, y_ref, a_ref, s_ref, go_ref, gy_ref,
     db2_ref[...] += db2
 
 
+def _pipe_half(mt: int):
+    """Half-tile row count for the pipelined kernels, or None when the
+    tile is too small to split (halves must keep the 8-sublane multiple
+    and enough rows for an efficient matmul)."""
+    from vitta_tpu.ops.dispatch import mlp_pipe_enabled
+    if not mlp_pipe_enabled():
+        return None
+    if mt % 16 != 0 or mt < 64:
+        return None
+    return mt // 2
+
+
+def _lnmlp_fwd_kernel_pipe(x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
+                           b2_ref, o_ref, y_ref, a_ref=None, s_ref=None,
+                           *, eps, half):
+    """Software-pipelined _lnmlp_fwd_kernel: the row tile is processed
+    as two halves with phases interleaved so half B's VPU work (LN,
+    GELU) overlaps half A's MXU matmuls.  Every op is per-row, so the
+    math is unchanged (backends may re-block the split-M matmuls:
+    ulp-level reassociation only — tested)."""
+    g_ = g_ref[...].astype(jnp.float32)
+    bt = bt_ref[...].astype(jnp.float32)
+    w1 = w1_ref[...]
+    b1 = b1_ref[...].astype(jnp.float32)
+    w2 = w2_ref[...]
+    b2 = b2_ref[...].astype(jnp.float32)
+
+    def ln(xp):
+        xf = xp.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(msq - mu * mu + eps)
+        return ((xf - mu) * rstd * g_ + bt).astype(y_ref.dtype)
+
+    def fc1(yc):
+        return jax.lax.dot_general(yc, w1, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) + b1
+
+    def fc2(ac):
+        return jax.lax.dot_general(ac, w2, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) + b2
+
+    x = x_ref[...]
+    # program order interleaves the halves: each MXU matmul is issued
+    # with the OTHER half's VPU chain pending, so the units overlap
+    yA = ln(x[:half])                     # VPU
+    hA = fc1(yA)                          # MXU
+    yB = ln(x[half:])                     # VPU (overlaps hA)
+    hB = fc1(yB)                          # MXU
+    aA, sA = _gelu_parts(hA)              # VPU (overlaps hB)
+    acA = aA.astype(x_ref.dtype)
+    oA = fc2(acA)                         # MXU
+    aB, sB = _gelu_parts(hB)              # VPU (overlaps oA)
+    acB = aB.astype(x_ref.dtype)
+    oB = fc2(acB)                         # MXU
+    y_ref[...] = jnp.concatenate([yA, yB], axis=0)
+    o_ref[...] = jnp.concatenate([oA.astype(o_ref.dtype),
+                                  oB.astype(o_ref.dtype)], axis=0)
+    if a_ref is not None:
+        a_ref[...] = jnp.concatenate([acA, acB], axis=0)
+        s_ref[...] = jnp.concatenate([sA.astype(s_ref.dtype),
+                                      sB.astype(s_ref.dtype)], axis=0)
+
+
+def _lnmlp_bwd_kernel_pipe(x_ref, y_ref, a_ref, s_ref, go_ref, gy_ref,
+                           g_ref, w1_ref, w2_ref,
+                           dx_ref, dg_ref, dbt_ref, dw1_ref, dw2_ref,
+                           db1_ref, db2_ref, *, eps, half):
+    """Software-pipelined _lnmlp_bwd_kernel.  The per-row chains (da,
+    dh, dy, LayerNorm backward, dx) are computed per half with phases
+    interleaved; the weight/bias-gradient reductions then run over the
+    reconstituted full-tile tensors, so each reduction keeps the
+    sequential kernel's accumulation order (residual difference is
+    ulp-level matmul re-blocking only — tested)."""
+    i = pl.program_id(0)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    gf = g_ref[...].astype(jnp.float32)
+    go = go_ref[...]
+    s = s_ref[...]
+    gy = gy_ref[...]
+    x = x_ref[...]
+
+    def da_of(gop):
+        return jax.lax.dot_general(gop, w2, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dy_of(dhcp, gyp):
+        return jax.lax.dot_general(dhcp, w1, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ) + gyp.astype(jnp.float32)
+
+    def ln_bwd(xp, dyp):
+        xf = xp.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(msq - mu * mu + eps)
+        xh = (xf - mu) * rstd
+        wg = dyp * gf
+        dx = rstd * (wg - jnp.mean(wg, axis=-1, keepdims=True)
+                     - xh * jnp.mean(wg * xh, axis=-1, keepdims=True))
+        return xh, dx
+
+    # interleaved per-half chains (MXU issues against the other half's
+    # pending VPU work)
+    daA = da_of(go[:half])                             # MXU
+    dhA = daA * s[:half].astype(jnp.float32)           # VPU
+    daB = da_of(go[half:])                             # MXU (overlaps dhA)
+    dhcA = dhA.astype(go.dtype)
+    dyA = dy_of(dhcA, gy[:half])                       # MXU
+    dhB = daB * s[half:].astype(jnp.float32)           # VPU (overlaps dyA)
+    dhcB = dhB.astype(go.dtype)
+    dyB = dy_of(dhcB, gy[half:])                       # MXU
+    xhA, dxA = ln_bwd(x[:half], dyA)                   # VPU (overlaps dyB)
+    # full-tile reductions, issued while half B's LN backward runs
+    dh = jnp.concatenate([dhA, dhB], axis=0)
+    dhc = jnp.concatenate([dhcA, dhcB], axis=0)
+    dw1 = jax.lax.dot_general(y_ref[...], dhc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)    # MXU
+    xhB, dxB = ln_bwd(x[half:], dyB)                   # VPU (overlaps dw1)
+    dw2 = jax.lax.dot_general(a_ref[...], go, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)    # MXU
+    dy = jnp.concatenate([dyA, dyB], axis=0)
+    xh = jnp.concatenate([xhA, xhB], axis=0)
+    dg = jnp.sum(dy * xh, axis=0, keepdims=True)
+    dbt = jnp.sum(dy, axis=0, keepdims=True)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    db2 = jnp.sum(go.astype(jnp.float32), axis=0, keepdims=True)
+    dx_ref[...] = jnp.concatenate([dxA, dxB], axis=0).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbt_ref[...] = jnp.zeros_like(dbt_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dg_ref[...] += dg
+    dbt_ref[...] += dbt
+    dw1_ref[...] += dw1
+    dw2_ref[...] += dw2
+    db1_ref[...] += db1
+    db2_ref[...] += db2
+
+
 @functools.partial(jax.jit,
                    static_argnames=("eps", "save_residuals", "interpret"))
 def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
@@ -384,13 +531,16 @@ def _pallas_lnmlp_fwd(x2, g, bt, w1, b1, w2, b2, eps, save_residuals,
     outs = [tile, tile]
     out_shapes = [jax.ShapeDtypeStruct((m, c), x2.dtype),
                   jax.ShapeDtypeStruct((m, c), x2.dtype)]
+    half = _pipe_half(mt)
+    fwd_kern = (functools.partial(_lnmlp_fwd_kernel_pipe, half=half)
+                if half else _lnmlp_fwd_kernel)
     if save_residuals:
         outs += [ftile, ftile]
         out_shapes += [jax.ShapeDtypeStruct((m, f), x2.dtype),
                        jax.ShapeDtypeStruct((m, f), x2.dtype)]
-        kern = functools.partial(_lnmlp_fwd_kernel, eps=eps)
+        kern = functools.partial(fwd_kern, eps=eps)
     else:
-        kern = functools.partial(_lnmlp_fwd_kernel, a_ref=None, s_ref=None,
+        kern = functools.partial(fwd_kern, a_ref=None, s_ref=None,
                                  eps=eps)
     return pl.pallas_call(
         kern,
@@ -411,8 +561,11 @@ def _pallas_lnmlp_bwd(x2, y, a, s, go, gy, g, w1, w2, eps, interpret=False):
     mt = _tile_rows(m, c, f, x2.dtype.itemsize, 5, 2, 2)
     tile = pl.BlockSpec((mt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ftile = pl.BlockSpec((mt, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    half = _pipe_half(mt)
+    bwd_kern = (functools.partial(_lnmlp_bwd_kernel_pipe, half=half)
+                if half else _lnmlp_bwd_kernel)
     return pl.pallas_call(
-        functools.partial(_lnmlp_bwd_kernel, eps=eps),
+        functools.partial(bwd_kern, eps=eps),
         grid=(m // mt,),
         in_specs=[tile, tile, ftile, ftile, tile, tile,
                   _const_spec((1, c)), _const_spec((c, f)),
