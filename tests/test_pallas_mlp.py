@@ -252,3 +252,50 @@ def test_lnmlp_pipe_bitexact_vs_sequential(monkeypatch):
     for a0, a1, name in zip(g0, g1, "x g bt w1 b1 w2 b2".split()):
         np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_lnmlp_pipe_uneven_halves(monkeypatch):
+    """mt % 16 != 0 tiles split into uneven 8-aligned halves (the
+    Swin-B stage-3 backward lands on mt=392 -> 192+200); values and
+    gradients still match the sequential kernels."""
+    from vitta_tpu.ops.pallas_mlp import fused_ln_mlp, _pipe_half
+
+    monkeypatch.setenv("VITTA_MLP_PIPE", "1")
+    assert _pipe_half(392) == 192
+    assert _pipe_half(128) == 64
+    assert _pipe_half(56) is None     # too small to split
+    assert _pipe_half(68) is None     # not 8-aligned
+
+    # m=88 rows: _tile_rows keeps mt=m=88 -> halves 40+48
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    c, f = 32, 128
+    x = jax.random.normal(ks[0], (88, c)) * 0.5
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    bt = 0.1 * jax.random.normal(ks[2], (c,))
+    w1 = jax.random.normal(ks[3], (c, f)) * (c ** -0.5)
+    b1 = 0.1 * jax.random.normal(ks[4], (f,))
+    w2 = jax.random.normal(ks[5], (f, c)) * (f ** -0.5)
+    b2 = 0.1 * jax.random.normal(ks[6], (c,))
+    args = (x, g, bt, w1, b1, w2, b2)
+
+    def loss(a):
+        o, y = fused_ln_mlp(*a, 1e-5, use_pallas=False, interpret=True)
+        return jnp.sum(o * jnp.cos(o)) + jnp.sum(jnp.square(y))
+
+    def run():
+        jax.clear_caches()
+        o, y = fused_ln_mlp(*args, 1e-5, use_pallas=False, interpret=True)
+        return o, y, jax.grad(loss)(args)
+
+    o1, y1, g1 = run()
+    monkeypatch.setenv("VITTA_MLP_PIPE", "0")
+    o0, y0, g0 = run()
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+    for a0, a1, name in zip(g0, g1, "x g bt w1 b1 w2 b2".split()):
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)

@@ -370,15 +370,17 @@ def _lnmlp_bwd_kernel(x_ref, y_ref, a_ref, s_ref, go_ref, gy_ref,
 
 
 def _pipe_half(mt: int):
-    """Half-tile row count for the pipelined kernels, or None when the
-    tile is too small to split (halves must keep the 8-sublane multiple
-    and enough rows for an efficient matmul)."""
+    """First-half row count for the pipelined kernels, or None when the
+    tile is too small to split.  Both halves must keep the 8-sublane
+    multiple, so the split point is the 8-aligned floor of mt/2 — the
+    halves may be uneven (e.g. mt=392 -> 192+200, the Swin-B stage-3
+    backward tile), which is fine: every split op is per-row."""
     from vitta_tpu.ops.dispatch import mlp_pipe_enabled
     if not mlp_pipe_enabled():
         return None
-    if mt % 16 != 0 or mt < 64:
+    if mt % 8 != 0 or mt < 64:
         return None
-    return mt // 2
+    return (mt // 16) * 8
 
 
 def _lnmlp_fwd_kernel_pipe(x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
