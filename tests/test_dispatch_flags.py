@@ -17,6 +17,10 @@ GATES = [
     (dispatch.attn_ln_enabled, "VITTA_ATTN_LN", False),
     (dispatch.patchify_enabled, "VITTA_PATCHIFY", False),
     (dispatch.attn_proj_fused_enabled, "VITTA_ATTN_PROJ_FUSED", False),
+    # round-5b/c sweep: attention head-loop pipe won at both dtypes,
+    # LN-MLP pipe measured neutral (flag_sweep_r5{b,c}.jsonl)
+    (dispatch.attn_pipe_enabled, "VITTA_ATTN_PIPE", True),
+    (dispatch.mlp_pipe_enabled, "VITTA_MLP_PIPE", False),
 ]
 
 

@@ -19,12 +19,16 @@ ms/video):
   r5 bf16: base 45.88 | +patchify_v2 43.56 (BEST; 43.48 on uint8 wire)
   | +compact_bias 56.38
   r5 fp32: base 53.19 | +patchify_v2 50.96 (BEST)
+  r5b bf16: ctl 43.52 | +attn_pipe 41.36 (BEST)
+  r5b fp32: ctl 50.84 | +attn_pipe 48.29 (BEST)
+  r5c bf16: +mlp_pipe 43.63 | attn+mlp pipe 41.48 (mlp pipe neutral)
 
 so window-resident stages, the *packed* attention kernel (qkv/proj
-matmuls left to XLA) and the matmul patch embed (patchify_v2) are
-default-ON — at both dtypes — and the proj-fused kernel, LN-prologue
-fusion, uint8 patchify, forced compact bias and bf16 momentum are
-default-OFF.
+matmuls left to XLA), the matmul patch embed (patchify_v2) and the
+software-pipelined attention head loop (attn_pipe) are default-ON — at
+both dtypes — and the proj-fused kernel, LN-prologue fusion, uint8
+patchify, forced compact bias, bf16 momentum and the (neutral) LN-MLP
+pipe are default-OFF.
 Every gate is tri-state: unset -> measured default, "0"/"false"/"off"
 -> off, anything else -> on.
 """
@@ -126,9 +130,11 @@ def attn_pipe_enabled() -> bool:
     slope-timed ablation (benchmarks/results/attn_bwd_micro_r5.jsonl):
     the backward measured full ~= matmuls + the WHOLE VPU chain
     (additive, zero overlap), and the reorder won -29%/-27% on
-    stages 0/1.  Default OFF pending the end-to-end flag sweep;
-    ``VITTA_ATTN_PIPE=1`` enables."""
-    return flag_enabled("VITTA_ATTN_PIPE", False)
+    stages 0/1.  Default ON — won the end-to-end A/B at both dtypes
+    against same-run controls (flag_sweep_r5b.jsonl: Swin-B bf16
+    43.52 -> 41.36 ms/video, fp32 50.84 -> 48.29);
+    ``VITTA_ATTN_PIPE=0`` restores the sequential head loop."""
+    return flag_enabled("VITTA_ATTN_PIPE", True)
 
 
 def mlp_pipe_enabled() -> bool:
@@ -139,10 +145,13 @@ def mlp_pipe_enabled() -> bool:
     split row-wise and the weight/bias-gradient reductions still run
     over the reconstituted full tile; results match the sequential
     kernels to ulp level (tested).  Same motivation as
-    VITTA_ATTN_PIPE: the slope-timed attention ablation measured MXU
-    and VPU costs as strictly additive inside one Pallas kernel.
-    Default OFF pending the end-to-end flag sweep; ``VITTA_MLP_PIPE=1``
-    enables."""
+    VITTA_ATTN_PIPE, but measured NEUTRAL end-to-end
+    (flag_sweep_r5c.jsonl: Swin-B bf16 43.63 alone vs the 43.52
+    control; composed with the attention pipe 41.48 vs 41.36 — both
+    within run noise): unlike attention, the LN-MLP grid is long and
+    its per-tile VPU share small, so the interleave has little idle
+    time to recover.  Default OFF; kept as a measured variant
+    (``VITTA_MLP_PIPE=1``)."""
     return flag_enabled("VITTA_MLP_PIPE", False)
 
 
